@@ -1,0 +1,427 @@
+"""Pure-JAX probability distributions.
+
+The reference delegates to ``Distributions.jl`` (see ``/root/reference/Project.toml:6-13``
+and usage such as ``Normal(dyn.a * state, dyn.q)`` in
+``/root/reference/examples/gaussian-ssm/script.jl:50-52``).  This module provides the
+equivalent vocabulary natively in JAX: every distribution is a frozen pytree with
+vectorised ``sample(key, sample_shape)`` / ``log_prob(x)`` so that a single call scores
+or samples **all particles at once** on the VPU — there is no per-particle object.
+
+Parameterisations follow ``Distributions.jl`` so that models written against the
+reference translate one-to-one:
+
+* ``Normal(loc, scale)``     — ``scale`` is the **standard deviation**.
+* ``Gamma(concentration, scale)`` — shape/scale (``Gamma(2, 3)`` has mean 6), matching
+  ``Distributions.Gamma`` as used in ``/root/reference/test/smc.jl:86``.
+* ``Exponential(scale)``     — mean = ``scale``.
+* ``Beta(a, b)``, ``Uniform(low, high)``, ``Bernoulli(p)`` on {0, 1}.
+* ``Categorical(probs)``     — over ``{0, …, K-1}`` (0-based; the Julia reference is
+  1-based).
+* ``MvNormal(loc, cov)``     — dense covariance.
+
+All distributions broadcast their parameters, so e.g. ``Normal(loc=x[N], scale=q)``
+is a batch of N distributions and ``log_prob(y)`` returns shape ``[N]``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .utils.trees import pytree_dataclass
+
+__all__ = [
+    "Distribution",
+    "Normal",
+    "MvNormal",
+    "Bernoulli",
+    "Gamma",
+    "Beta",
+    "Uniform",
+    "Exponential",
+    "Poisson",
+    "Categorical",
+    "LogNormal",
+    "StudentT",
+    "Dirac",
+]
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+class Distribution:
+    """Marker base class. Subclasses implement ``sample`` and ``log_prob``."""
+
+    #: shape of one event; () for scalar distributions
+    event_shape: tuple = ()
+
+    @property
+    def batch_shape(self):
+        raise NotImplementedError
+
+    def sample(self, key, sample_shape=()):
+        raise NotImplementedError
+
+    def log_prob(self, x):
+        raise NotImplementedError
+
+    def _full_shape(self, sample_shape):
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        return tuple(sample_shape) + tuple(self.batch_shape)
+
+
+def _bshape(*params):
+    return jnp.broadcast_shapes(*(jnp.shape(p) for p in params))
+
+
+@pytree_dataclass
+class Normal(Distribution):
+    """Gaussian with mean ``loc`` and standard deviation ``scale``."""
+
+    loc: jax.Array
+    scale: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        eps = jax.random.normal(key, shape, dtype=jnp.result_type(float))
+        return jnp.asarray(self.loc) + jnp.asarray(self.scale) * eps
+
+    def log_prob(self, x):
+        scale = jnp.asarray(self.scale)
+        z = (jnp.asarray(x) - self.loc) / scale
+        return -0.5 * z * z - jnp.log(scale) - _HALF_LOG_2PI
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+    @property
+    def variance(self):
+        return jnp.broadcast_to(jnp.square(self.scale), self.batch_shape)
+
+
+@pytree_dataclass
+class MvNormal(Distribution):
+    """Multivariate Gaussian with dense covariance.
+
+    ``loc``: [..., D]; ``cov``: [..., D, D].  Batched parameters are supported so a
+    per-particle mean/covariance (as required by the Lévy SSM dynamics,
+    ``/root/reference/examples/levy-ssm/script.jl:84-88``) scores in one fused call.
+    """
+
+    loc: jax.Array
+    cov: jax.Array
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1],)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(
+            jnp.shape(self.loc)[:-1], jnp.shape(self.cov)[:-2]
+        )
+
+    @property
+    def _chol(self):
+        return jnp.linalg.cholesky(self.cov)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape) + self.event_shape
+        eps = jax.random.normal(key, shape, dtype=jnp.result_type(float))
+        return jnp.asarray(self.loc) + jnp.einsum(
+            "...ij,...j->...i", self._chol, eps
+        )
+
+    def log_prob(self, x):
+        d = self.event_shape[0]
+        chol = self._chol
+        diff = jnp.asarray(x) - self.loc
+        z = jax.scipy.linalg.solve_triangular(chol, diff[..., None], lower=True)[
+            ..., 0
+        ]
+        half_logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), -1)
+        return -0.5 * jnp.sum(z * z, -1) - half_logdet - d * _HALF_LOG_2PI
+
+    @property
+    def mean(self):
+        return self.loc
+
+
+@pytree_dataclass
+class Bernoulli(Distribution):
+    """Bernoulli over {0, 1} with success probability ``p``."""
+
+    p: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.p)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        return jax.random.bernoulli(key, jnp.asarray(self.p), shape).astype(
+            jnp.result_type(float)
+        )
+
+    def log_prob(self, x):
+        p = jnp.asarray(self.p, dtype=jnp.result_type(float))
+        x = jnp.asarray(x)
+        # xlogy-style: exact 0*log(0) handling so p∈{0,1} scores exactly (the analytic
+        # log-evidence oracle in /root/reference/test/smc.jl:84-104 uses Bernoulli(1)).
+        return jax.scipy.special.xlogy(x, p) + jax.scipy.special.xlog1py(1.0 - x, -p)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.p, self.batch_shape)
+
+
+@pytree_dataclass
+class Gamma(Distribution):
+    """Gamma with shape ``concentration`` and **scale** (mean = concentration*scale)."""
+
+    concentration: jax.Array
+    scale: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        g = jax.random.gamma(
+            key, jnp.broadcast_to(self.concentration, shape), dtype=jnp.result_type(float)
+        )
+        return g * jnp.asarray(self.scale)
+
+    def log_prob(self, x):
+        a = jnp.asarray(self.concentration, dtype=jnp.result_type(float))
+        s = jnp.asarray(self.scale, dtype=jnp.result_type(float))
+        x = jnp.asarray(x)
+        return (
+            (a - 1.0) * jnp.log(x)
+            - x / s
+            - jax.scipy.special.gammaln(a)
+            - a * jnp.log(s)
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.concentration * self.scale, self.batch_shape)
+
+
+@pytree_dataclass
+class Beta(Distribution):
+    a: jax.Array
+    b: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.a, self.b)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        return jax.random.beta(
+            key,
+            jnp.broadcast_to(self.a, shape),
+            jnp.broadcast_to(self.b, shape),
+            dtype=jnp.result_type(float),
+        )
+
+    def log_prob(self, x):
+        a = jnp.asarray(self.a, dtype=jnp.result_type(float))
+        b = jnp.asarray(self.b, dtype=jnp.result_type(float))
+        x = jnp.asarray(x)
+        return (
+            (a - 1.0) * jnp.log(x)
+            + (b - 1.0) * jnp.log1p(-x)
+            - jax.scipy.special.betaln(a, b)
+        )
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.a / (self.a + self.b), self.batch_shape)
+
+
+@pytree_dataclass
+class Uniform(Distribution):
+    low: jax.Array
+    high: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.low, self.high)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        u = jax.random.uniform(key, shape, dtype=jnp.result_type(float))
+        return jnp.asarray(self.low) + u * (
+            jnp.asarray(self.high) - jnp.asarray(self.low)
+        )
+
+    def log_prob(self, x):
+        low = jnp.asarray(self.low, dtype=jnp.result_type(float))
+        high = jnp.asarray(self.high, dtype=jnp.result_type(float))
+        x = jnp.asarray(x)
+        inside = (x >= low) & (x <= high)
+        return jnp.where(inside, -jnp.log(high - low), -jnp.inf)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(0.5 * (self.low + self.high), self.batch_shape)
+
+
+@pytree_dataclass
+class Exponential(Distribution):
+    """Exponential with **scale** parameter (mean = scale), as ``Distributions.jl``."""
+
+    scale: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        e = jax.random.exponential(key, shape, dtype=jnp.result_type(float))
+        return e * jnp.asarray(self.scale)
+
+    def log_prob(self, x):
+        s = jnp.asarray(self.scale, dtype=jnp.result_type(float))
+        x = jnp.asarray(x)
+        return jnp.where(x >= 0, -x / s - jnp.log(s), -jnp.inf)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.scale, self.batch_shape)
+
+
+@pytree_dataclass
+class Poisson(Distribution):
+    rate: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.rate)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        return jax.random.poisson(key, jnp.asarray(self.rate), shape).astype(
+            jnp.result_type(float)
+        )
+
+    def log_prob(self, x):
+        r = jnp.asarray(self.rate, dtype=jnp.result_type(float))
+        x = jnp.asarray(x)
+        return jax.scipy.special.xlogy(x, r) - r - jax.scipy.special.gammaln(x + 1.0)
+
+    @property
+    def mean(self):
+        return jnp.broadcast_to(self.rate, self.batch_shape)
+
+
+@pytree_dataclass
+class Categorical(Distribution):
+    """Categorical over {0, …, K-1} parameterised by probabilities ``probs[..., K]``."""
+
+    probs: jax.Array
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.probs)[:-1]
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        logits = jnp.log(jnp.asarray(self.probs, dtype=jnp.result_type(float)))
+        return jax.random.categorical(key, logits, shape=shape)
+
+    def log_prob(self, x):
+        p = jnp.asarray(self.probs, dtype=jnp.result_type(float))
+        idx = jnp.asarray(x, dtype=jnp.int32)
+        return jnp.log(jnp.take_along_axis(p, idx[..., None], axis=-1)[..., 0])
+
+    @property
+    def mean(self):
+        k = jnp.arange(jnp.shape(self.probs)[-1], dtype=jnp.result_type(float))
+        return jnp.sum(self.probs * k, -1)
+
+
+@pytree_dataclass
+class LogNormal(Distribution):
+    loc: jax.Array
+    scale: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        return jnp.exp(Normal(self.loc, self.scale).sample(key, sample_shape))
+
+    def log_prob(self, x):
+        x = jnp.asarray(x)
+        logx = jnp.log(x)
+        return Normal(self.loc, self.scale).log_prob(logx) - logx
+
+    @property
+    def mean(self):
+        return jnp.exp(self.loc + 0.5 * jnp.square(self.scale))
+
+
+@pytree_dataclass
+class StudentT(Distribution):
+    df: jax.Array
+    loc: jax.Array
+    scale: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.df, self.loc, self.scale)
+
+    def sample(self, key, sample_shape=()):
+        shape = self._full_shape(sample_shape)
+        t = jax.random.t(key, jnp.broadcast_to(self.df, shape), dtype=jnp.result_type(float))
+        return jnp.asarray(self.loc) + jnp.asarray(self.scale) * t
+
+    def log_prob(self, x):
+        df = jnp.asarray(self.df, dtype=jnp.result_type(float))
+        scale = jnp.asarray(self.scale, dtype=jnp.result_type(float))
+        z = (jnp.asarray(x) - self.loc) / scale
+        return (
+            jax.scipy.special.gammaln(0.5 * (df + 1.0))
+            - jax.scipy.special.gammaln(0.5 * df)
+            - 0.5 * jnp.log(df * math.pi)
+            - jnp.log(scale)
+            - 0.5 * (df + 1.0) * jnp.log1p(z * z / df)
+        )
+
+
+@pytree_dataclass
+class Dirac(Distribution):
+    """Point mass: deterministic 'distribution' (useful for clamped/known states)."""
+
+    value: jax.Array
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.value)
+
+    def sample(self, key, sample_shape=()):
+        del key
+        return jnp.broadcast_to(self.value, self._full_shape(sample_shape))
+
+    def log_prob(self, x):
+        v = jnp.asarray(self.value)
+        return jnp.where(jnp.asarray(x) == v, 0.0, -jnp.inf)
+
+    @property
+    def mean(self):
+        return jnp.asarray(self.value)

@@ -1,0 +1,298 @@
+"""The particle sweep engine: one ``lax.scan`` over time, all particles dense.
+
+This module is the TPU-native replacement for the reference's L4 layer — the
+``ParticleContainer`` + ``sweep!`` loop (``/root/reference/src/container.jl:316-363``)
+with its per-particle ``advance!`` (``/root/reference/src/pgas.jl:53-89``), fork loop
+(``/root/reference/src/container.jl:190-217``) and seed-tree bookkeeping.  Where the
+reference iterates ``for i in 1:n`` over ``Trace`` objects and forks them with
+``deepcopy``, here the entire sweep is a single compiled scan whose body is:
+
+    ESS gate → resample (one gather) → propagate+score (fused, vectorised) →
+    log-evidence accumulate (logsumexp)
+
+Particle identity is a *slot index*; genealogy is recorded as a dense ancestor-index
+matrix instead of forked objects, and trajectories are reconstructed afterwards by a
+backward pass (``lineages``) — the dense analogue of the reference's
+replay-instead-of-store trick (``/root/reference/src/container.jl:220-221``), with
+O(T·N·D) storage but no re-execution.
+
+Reference-particle semantics (conditional SMC, PG/PGAS):
+
+* the reference trajectory occupies slot ``N-1`` and always survives resampling
+  (``children[n] = ref``, ``/root/reference/src/container.jl:219-224``);
+* at each step its state is *read* from the retained trajectory instead of sampled
+  (``/root/reference/src/pgas.jl:69-72``), implemented as a ``where`` mask inside the
+  kernel step so it stays inside the fused propagate kernel;
+* ancestor resampling draws the other ``N-1`` ancestors from the categorical over all
+  ``N`` weights (``/root/reference/src/container.jl:181-182``).
+
+PGAS ancestor sampling: when a resampling step occurs, the reference slot's ancestor
+is drawn with probability ∝ ``exp(logW_i) · f_t(x^ref_t | x^i_{t-1})`` and recorded in
+the genealogy, so the backward pass automatically splices the chosen ancestor's past
+onto the retained trajectory (reference math ``/root/reference/src/pgas.jl:39-46`` and
+``:113-128``).  Note: we score the *textbook* PGAS junction — the transition from each
+particle's current state into the reference's next state (Lindsten, Jordan & Schön,
+2014) — whereas the reference scores a one-step-lagged junction
+(``transition_logweight`` uses ``X[iter-1] → ref.X[iter]`` at splice time,
+``/root/reference/src/pgas.jl:26-32,117-119``).  Both splice the same prefix; the
+statistical contracts (Kalman agreement, update-rate ≈ 1 − 1/N) hold for the textbook
+form and are pinned by tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import rng as rngmod
+from .resampling import (
+    ResampleWithESSThreshold,
+    effective_sample_size,
+    randcat,
+)
+from .utils.trees import pytree_dataclass, static_field
+
+__all__ = ["SweepKernel", "SweepResult", "sweep", "lineages", "reconstruct"]
+
+
+class SweepKernel:
+    """Protocol the sweep engine drives.  Implementations: the SSM kernel
+    (:mod:`advancedps_tpu.smc`) and the generic-program kernel
+    (:mod:`advancedps_tpu.generic`).
+
+    All methods are vectorised over the particle axis (leading dim ``N``):
+
+    * ``num_steps`` — number of observations ``T``.
+    * ``init(keys[N], ref0, ref_mask) -> (state, logw[N])`` — sample initial latents
+      (slot ``N-1`` reads ``ref0`` when a reference is present) and score ``y_0``.
+    * ``step(t, keys[N], state, ref_t, ref_mask) -> (state, logw[N])`` — one
+      transition + observation score.  ``state`` is an arbitrary pytree with leading
+      axis ``N``; resampling gathers it wholesale.
+    * ``snapshot(state) -> pytree [N, ...] | None`` — the per-step value recorded for
+      genealogy-based trajectory reconstruction (``None`` if the final state alone is
+      the trajectory, as in the generic path).
+    * ``transition_logprob(t, state, ref_t) -> [N]`` — density of moving from each
+      particle's current state to ``ref_t``; required for PGAS only.
+    """
+
+    num_steps: int
+
+    def init(self, keys, ref0, ref_mask):
+        raise NotImplementedError
+
+    def step(self, t, keys, state, ref_t, ref_mask):
+        raise NotImplementedError
+
+    def snapshot(self, state):
+        return None
+
+    def transition_logprob(self, t, state, ref_t):
+        raise NotImplementedError(
+            "ancestor sampling (PGAS) requires transition densities; "
+            "this kernel does not provide them"
+        )
+
+
+@pytree_dataclass
+class SweepResult:
+    """Everything one sweep produces.
+
+    ``log_evidence`` — Del Moral estimator ``Σ_t (logZ_after − logZ_before)``
+    (reference ``/root/reference/src/container.jl:332-359``).
+    ``log_weights`` — final unnormalised log-weights ``[N]``.
+    ``states`` — stacked per-step snapshots ``[T, N, ...]`` (or ``None``).
+    ``ancestors`` — ``[T, N]`` parent slots (``ancestors[0]`` is the identity).
+    ``final_state`` — kernel state after the last step (pytree ``[N, ...]``).
+    ``ess`` / ``resampled`` — per-step diagnostics ``[T]`` (SURVEY.md §5.5).
+    """
+
+    log_evidence: jax.Array
+    log_weights: jax.Array
+    states: Any
+    ancestors: jax.Array
+    final_state: Any
+    ess: jax.Array
+    resampled: jax.Array
+
+
+def _gather(state, idx):
+    """Resampling = one gather of the whole particle state by ancestor index."""
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), state)
+
+
+def inject_ref(ref_mask, ref_val, vals):
+    """Overwrite slot ``N-1`` with the reference value (a ``where`` mask, so the
+    reference's read-instead-of-sample semantics
+    (``/root/reference/src/pgas.jl:69-72``) stay inside the fused kernel).
+
+    ``vals``: pytree with leading axis N; ``ref_val``: matching pytree for one
+    particle.
+    """
+    if ref_mask is None or ref_val is None:
+        return vals
+
+    def one(v, r):
+        m = ref_mask.reshape(ref_mask.shape + (1,) * (v.ndim - 1))
+        return jnp.where(m, jnp.asarray(r)[None], v)
+
+    return jax.tree_util.tree_map(one, vals, ref_val)
+
+
+def _ref_slice(ref, t):
+    if ref is None:
+        return None
+    return jax.tree_util.tree_map(lambda a: a[t], ref)
+
+
+def sweep(
+    key: jax.Array,
+    kernel: SweepKernel,
+    n_particles: int,
+    resampler: ResampleWithESSThreshold,
+    ref: Any = None,
+    ancestor_sampling: bool = False,
+    store_states: bool = True,
+) -> SweepResult:
+    """Run one particle sweep (bootstrap SMC, or conditional SMC when ``ref`` given).
+
+    Single-chip version; the sharded variant lives in
+    :mod:`advancedps_tpu.parallel.sharded`.  Everything here is jit-compatible:
+    the ESS gate is a branchless ``where`` (SURVEY.md §7 hard part (c)), shapes are
+    static, and the time loop is ``lax.scan``.
+    """
+    n = n_particles
+    T = kernel.num_steps
+    has_ref = ref is not None
+    if ancestor_sampling and not has_ref:
+        raise ValueError("ancestor_sampling requires a reference trajectory")
+
+    ref_mask = None
+    if has_ref:
+        ref_mask = jnp.arange(n) == (n - 1)
+
+    # --- t = 0: sample initial states, weight with y_0.  The reference's leading
+    # resample_propagate! acts on weightless fresh particles (uniform weights, no
+    # state), so it is a statistical no-op; we skip it (call stack SURVEY.md §3.1).
+    keys0 = rngmod.particle_keys(key, rngmod.INIT, 0, n)
+    state, logw = kernel.init(keys0, _ref_slice(ref, 0), ref_mask)
+    log_z = jax.scipy.special.logsumexp(logw) - jnp.log(jnp.asarray(float(n)))
+
+    snap0 = kernel.snapshot(state)
+    do_store = store_states and snap0 is not None
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    n_resample = n - 1 if has_ref else n  # reference draws n-1 ancestors with a ref
+    # (``/root/reference/src/container.jl:181-182``)
+
+    def body(carry, t):
+        state, logw, log_z = carry
+
+        # ---- ESS gate (reference ``/root/reference/src/container.jl:233-251``).
+        weights = jax.nn.softmax(logw)
+        ess = effective_sample_size(weights)
+        do_rs = ess <= resampler.threshold * n
+
+        # ---- ancestor indices.
+        rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
+        anc_drawn = resampler.resampler(rs_key, weights, n_resample)
+        if has_ref:
+            ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
+            if ancestor_sampling:
+                # PGAS: w_i^anc = logW_i + log f_t(ref_t | state_i)
+                # (reference math /root/reference/src/pgas.jl:39-46,113-128).
+                ref_t = _ref_slice(ref, t)
+                anc_logw = logw + kernel.transition_logprob(t, state, ref_t)
+                anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
+                ref_anc = randcat(anc_key, jax.nn.softmax(anc_logw)).astype(jnp.int32)
+            anc_resampled = jnp.concatenate([anc_drawn, ref_anc[None]])
+        else:
+            anc_resampled = anc_drawn
+        anc = jnp.where(do_rs, anc_resampled, iota)
+
+        # ---- resample = gather; weight reset (branchless).
+        state_rs = _gather(state, anc)
+        logw_pre = jnp.where(do_rs, jnp.zeros_like(logw), logw)
+        log_z0 = jax.scipy.special.logsumexp(logw_pre)
+
+        # ---- propagate + score: the fused hot kernel
+        # (reference hot loop /root/reference/src/container.jl:259-302 +
+        # /root/reference/src/pgas.jl:53-89, now one vectorised op).
+        keys = rngmod.particle_keys(key, rngmod.PROPAGATE, t, n)
+        state_new, score = kernel.step(t, keys, state_rs, _ref_slice(ref, t), ref_mask)
+        logw_new = logw_pre + score
+
+        # ---- log-evidence increment (Del Moral estimator,
+        # /root/reference/src/container.jl:332-359).
+        log_z1 = jax.scipy.special.logsumexp(logw_new)
+        log_z = log_z + (log_z1 - log_z0)
+
+        out = (
+            kernel.snapshot(state_new) if do_store else None,
+            anc,
+            ess,
+            do_rs,
+        )
+        return (state_new, logw_new, log_z), out
+
+    (state, logw, log_z), (snaps, ancs, esss, rss) = lax.scan(
+        body, (state, logw, log_z), jnp.arange(1, T)
+    )
+
+    # Prepend t=0 entries.
+    if do_store:
+        states = jax.tree_util.tree_map(
+            lambda s0, ss: jnp.concatenate([s0[None], ss], axis=0), snap0, snaps
+        )
+    else:
+        states = None
+    ancestors = jnp.concatenate([iota[None], ancs], axis=0)
+    ess0 = jnp.asarray(float(n), dtype=esss.dtype)
+    ess = jnp.concatenate([ess0[None], esss])
+    resampled = jnp.concatenate([jnp.zeros((1,), dtype=bool), rss])
+
+    return SweepResult(
+        log_evidence=log_z,
+        log_weights=logw,
+        states=states,
+        ancestors=ancestors,
+        final_state=state,
+        ess=ess,
+        resampled=resampled,
+    )
+
+
+def lineages(ancestors: jax.Array) -> jax.Array:
+    """Full lineage matrix from the ancestor trace.
+
+    ``lineage[t, i]`` = the slot at time ``t`` of the particle that occupies slot
+    ``i`` at the final time.  Backward pass over the genealogy — the dense
+    replacement for the reference's per-particle ``deepcopy`` forks.
+    """
+    T, n = ancestors.shape
+    idx_final = jnp.arange(n, dtype=ancestors.dtype)
+
+    def back(idx, anc_next):
+        return anc_next[idx], idx
+
+    first, rest = lax.scan(back, idx_final, ancestors[1:], reverse=True)
+    return jnp.concatenate([first[None], rest], axis=0)
+
+
+def reconstruct(states: Any, ancestors: jax.Array, index) -> Any:
+    """Trajectory (or trajectories) through the genealogy.
+
+    ``index`` scalar → pytree ``[T, ...]``; ``index`` absent/None → all N
+    trajectories ``[T, N, ...]`` (what the reference's ``SMCSample.trajectories``
+    materialises via per-particle ``X`` vectors).
+    """
+    lin = lineages(ancestors)  # [T, N]
+    T = ancestors.shape[0]
+    if index is None:
+        gather = lambda s: s[jnp.arange(T)[:, None], lin]
+    else:
+        idx_t = lin[:, index]  # [T]
+        gather = lambda s: s[jnp.arange(T), idx_t]
+    return jax.tree_util.tree_map(gather, states)

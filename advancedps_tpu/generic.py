@@ -1,0 +1,262 @@
+"""Generic-model front-end — the TPU-native replacement for the Libtask extension.
+
+The reference runs *arbitrary Julia programs* as particles by executing them as
+copyable coroutines: ``advance!`` is ``Libtask.consume`` which resumes a task until
+the next ``AdvancedPS.observe`` → ``Libtask.produce(loglikelihood)``
+(``/root/reference/ext/AdvancedPSLibtaskExt.jl:116-122,156-159``), and forking a
+particle deep-copies the task tape (``:71-79,125-131``).
+
+Coroutines cannot exist inside an XLA program, so the same *capability* — latent
+``sample`` statements interleaved with ``observe`` statements in an ordinary program —
+is delivered as a **trace-once / execute-many** front-end (SURVEY.md §2.9):
+
+* The model is a Python function ``f(ctx)`` calling ``ctx.sample(dist)`` and
+  ``ctx.observe(dist, value)`` in a *static* order (the probabilistic-program
+  analogue of a static computation graph).
+* At build time the function is traced once eagerly to discover every sample site
+  (shape, dtype, segment = index of the next observe) and the number of observes T.
+* During a sweep, each step ``t`` re-executes the function **vectorised over all
+  particles** with position-derived keys: sites in segments ``< t`` replay their
+  stored values, sites in segment ``t`` draw fresh samples, the observe at index
+  ``t`` contributes the particle's log-weight.  All of this is ``where``-masked
+  arithmetic on a dense ``[N, S]`` value matrix — no tasks, no tape copies: forking
+  is the engine's ancestor gather.
+
+The reference's ``replay`` pass (``ext/AdvancedPSLibtaskExt.jl:240-252``), which
+re-executes a trajectory to materialise its values, is unnecessary: values are stored
+densely and the final value matrix *is* the trajectory.
+
+Data-dependent control flow (e.g. a random number of observes, rejected by the
+reference at ``/root/reference/src/container.jl:291-299``) is rejected here at trace
+time with the same diagnosis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import SweepKernel, inject_ref
+from .utils.trees import pytree_dataclass, static_field
+
+__all__ = ["GenericModel", "GenericSSMKernel", "observe", "sample_site"]
+
+
+class _TraceError(RuntimeError):
+    pass
+
+
+_MISALIGNED = (
+    "mis-aligned execution traces: the model's sample/observe structure depends on "
+    "sampled values (e.g. a random number of observations). The posterior for such "
+    "models is not well-defined — make the number and order of sample/observe "
+    "statements deterministic. (Reference guard: "
+    "/root/reference/src/container.jl:291-299.)"
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Site:
+    name: str
+    shape: tuple
+    dtype: Any
+    segment: int  # index of the observe that follows this site
+    offset: int  # position in the flat value vector
+    size: int
+
+
+class _TracerCtx:
+    """Eager, single-run context used once at model build to discover structure."""
+
+    def __init__(self, key):
+        self._key = key
+        self.sites = []
+        self.n_observes = 0
+        self._offset = 0
+
+    def sample(self, dist, name: Optional[str] = None):
+        s = len(self.sites)
+        val = dist.sample(jax.random.fold_in(self._key, s))
+        val = jnp.asarray(val)
+        size = int(np.prod(val.shape)) if val.shape else 1
+        self.sites.append(
+            _Site(
+                name=name or f"site_{s}",
+                shape=tuple(val.shape),
+                dtype=val.dtype,
+                segment=self.n_observes,
+                offset=self._offset,
+                size=size,
+            )
+        )
+        self._offset += size
+        return val
+
+    def observe(self, dist, value):
+        self.n_observes += 1
+        return dist.log_prob(value)
+
+
+class _RunCtx:
+    """Per-particle interpretation context (executed under ``vmap``).
+
+    ``mode='sample'``: sites in segment ``t`` draw fresh values (stored), segments
+    ``< t`` replay stored values, segments ``> t`` draw throwaway values so program
+    execution can continue.
+    ``mode='score'``: every site replays its stored value; the observe with index
+    ``t`` contributes the log-weight (mask-selected, so ``t`` may be traced).
+    """
+
+    def __init__(self, model, t, key, values, mode):
+        self.model = model
+        self.t = t
+        self.key = key
+        self.values_in = values
+        self.values_out = values
+        self.mode = mode
+        self.logw = jnp.zeros((), dtype=values.dtype)
+        self._site_idx = 0
+        self._obs_idx = 0
+
+    def _read(self, site):
+        flat = self.values_out[site.offset : site.offset + site.size]
+        return flat.reshape(site.shape).astype(site.dtype)
+
+    def sample(self, dist, name: Optional[str] = None):
+        s = self._site_idx
+        self._site_idx += 1
+        if s >= len(self.model.sites):
+            raise _TraceError(_MISALIGNED)
+        site = self.model.sites[s]
+        stored = self._read(site)
+        if self.mode == "score":
+            return stored
+        fresh = dist.sample(jax.random.fold_in(self.key, s))
+        fresh = jnp.asarray(fresh, dtype=site.dtype).reshape(site.shape)
+        seg = site.segment  # static per site; self.t may be traced
+        # Replay past segments, draw fresh for the current (and future) ones.
+        val = jnp.where(self.t > seg, stored, fresh)
+        # Persist only the current segment's draws.
+        stored_flat = self.values_out[site.offset : site.offset + site.size]
+        fresh_flat = fresh.reshape((site.size,)).astype(self.values_out.dtype)
+        keep = jnp.where(jnp.equal(self.t, seg), fresh_flat, stored_flat)
+        self.values_out = self.values_out.at[
+            site.offset : site.offset + site.size
+        ].set(keep)
+        return val.astype(site.dtype)
+
+    def observe(self, dist, value):
+        o = self._obs_idx
+        self._obs_idx += 1
+        if o >= self.model.num_steps:
+            raise _TraceError(_MISALIGNED)
+        lp = jnp.asarray(dist.log_prob(value), dtype=self.logw.dtype)
+        lp = jnp.sum(lp)  # scalar score per observe (batched observes sum)
+        self.logw = self.logw + jnp.where(jnp.equal(self.t, o), lp, 0.0)
+        return lp
+
+
+# Module-level convenience mirroring ``AdvancedPS.observe`` — the context-method
+# form is primary; these exist for API discoverability.
+def observe(ctx, dist, value):
+    return ctx.observe(dist, value)
+
+
+def sample_site(ctx, dist, name=None):
+    return ctx.sample(dist, name)
+
+
+class GenericModel:
+    """A probabilistic program with static sample/observe structure.
+
+    Reference capability: ``AbstractGenericModel`` + ``LibtaskModel``
+    (``/root/reference/src/AdvancedPS.jl:17``, ``ext/AdvancedPSLibtaskExt.jl:35-47``).
+
+    ``fn(ctx)`` is any Python callable using ``ctx.sample(dist[, name])`` and
+    ``ctx.observe(dist, value)``.  The number of observes defines the sweep length T.
+    """
+
+    def __init__(self, fn: Callable, seed: int = 0):
+        self.fn = fn
+        tracer = _TracerCtx(jax.random.key(seed))
+        try:
+            fn(tracer)
+        except jax.errors.TracerBoolConversionError as e:  # pragma: no cover
+            raise _TraceError(_MISALIGNED) from e
+        self.sites = tuple(tracer.sites)
+        self.num_steps = tracer.n_observes
+        self.flat_size = sum(s.size for s in self.sites)
+        if self.num_steps == 0:
+            raise ValueError("generic model must contain at least one observe")
+
+    # -- interpretation ----------------------------------------------------
+    def run_sample(self, t, key, values):
+        """One particle: draw segment-``t`` sites, return updated value vector."""
+        ctx = _RunCtx(self, t, key, values, mode="sample")
+        try:
+            self.fn(ctx)
+        except jax.errors.TracerBoolConversionError as e:
+            raise _TraceError(_MISALIGNED) from e
+        if ctx._site_idx != len(self.sites) or ctx._obs_idx != self.num_steps:
+            raise _TraceError(_MISALIGNED)
+        return ctx.values_out
+
+    def run_score(self, t, values):
+        """One particle: replay stored values, return observe-``t`` log-weight."""
+        ctx = _RunCtx(self, t, None, values, mode="score")
+        try:
+            self.fn(ctx)
+        except jax.errors.TracerBoolConversionError as e:
+            raise _TraceError(_MISALIGNED) from e
+        return ctx.logw
+
+    # -- value decoding ----------------------------------------------------
+    def decode(self, values: jax.Array) -> dict:
+        """Flat value vector (or stacked batch ``[..., S]``) → name→array dict."""
+        out = {}
+        for s in self.sites:
+            flat = values[..., s.offset : s.offset + s.size]
+            out[s.name] = flat.reshape(values.shape[:-1] + s.shape).astype(s.dtype)
+        return out
+
+
+@pytree_dataclass
+class GenericSSMKernel(SweepKernel):
+    """Sweep-engine kernel over a :class:`GenericModel`.
+
+    State = dense value matrix ``[N, S]``; snapshot = the value matrix itself, so a
+    retained PG trajectory is the per-step ``[T, S]`` stack and its final row holds
+    every site's value (no replay needed, unlike
+    ``/root/reference/ext/AdvancedPSLibtaskExt.jl:240-252``).
+
+    PGAS is unsupported — ancestor sampling needs transition densities, which only
+    the structured SSM path provides (the reference's ``update_ref!`` likewise
+    dispatches on ``SSMTrace`` only, ``/root/reference/src/pgas.jl:113``).
+    """
+
+    model: GenericModel = static_field()
+
+    @property
+    def num_steps(self) -> int:
+        return self.model.num_steps
+
+    def _advance(self, t, keys, values, ref_t, ref_mask):
+        new_vals = jax.vmap(lambda k, v: self.model.run_sample(t, k, v))(keys, values)
+        new_vals = inject_ref(ref_mask, ref_t, new_vals)
+        logw = jax.vmap(lambda v: self.model.run_score(t, v))(new_vals)
+        return new_vals, logw
+
+    def init(self, keys, ref0, ref_mask):
+        n = keys.shape[0]
+        values = jnp.zeros((n, self.model.flat_size), dtype=jnp.result_type(float))
+        return self._advance(jnp.asarray(0), keys, values, ref0, ref_mask)
+
+    def step(self, t, keys, state, ref_t, ref_mask):
+        return self._advance(t, keys, state, ref_t, ref_mask)
+
+    def snapshot(self, state):
+        return state

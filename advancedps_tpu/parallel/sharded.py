@@ -1,0 +1,249 @@
+"""Multi-chip particle sweep: ``shard_map`` over a particle-axis mesh.
+
+The reference is single-process/single-threaded (SURVEY.md §2.12-2.13); this module
+is the invented distributed layer specified by the north star (BASELINE.json):
+particles sharded across chips, weight normalisation via collective logsumexp,
+resampling via collective ancestor-index exchange over ICI.
+
+Design (SURVEY.md §5.8):
+
+* The **big data** (particle states) stays sharded ``[N/K, ...]`` per chip; the
+  **small data** (log-weights ``[N]`` floats) is all-gathered every step, so the ESS
+  gate, the log-evidence update and the ancestor-index computation run *replicated* on
+  every chip — bitwise identical to the single-chip engine, because they reuse the
+  very same resampler functions with the very same keys.
+* Per-particle RNG keys are derived from **global** particle ids
+  (``fold_in(step_key, global_id)``), so propagation is bitwise independent of the
+  sharding layout.
+* State exchange (the only heavy collective) happens **only when the ESS gate
+  triggers**, under a ``lax.cond`` with a replicated predicate: an ``all_gather`` of
+  the state pytree followed by a local gather of each chip's ancestor rows.
+  (A ragged ``ppermute`` exchange is a planned optimisation; ``all_gather`` is exact
+  and rides ICI.)
+* The reference particle occupies the **last slot of the last shard** and is masked
+  into the propagate kernel exactly as in the single-chip engine.
+
+Exactness contract (tested on an 8-device CPU mesh): same ``key`` ⇒ the sharded
+sweep reproduces the single-chip sweep's randomness exactly *in exact arithmetic* —
+identical per-particle keys, identical resampler uniforms.  In float32 the two
+differently-compiled programs may reduce softmax/cumsum in different orders; a
+1-ulp weight difference can flip an ancestor index where a stratum boundary lands
+exactly on a CDF step (probability ~N·ε per sweep).  The contract is therefore:
+each path is individually bitwise deterministic; across paths, ancestors agree at
+>99% of entries and log-evidence agrees to float-reduction tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import rng as rngmod
+from ..engine import SweepResult, _ref_slice
+from ..resampling import (
+    ResampleWithESSThreshold,
+    effective_sample_size,
+    randcat,
+)
+from .mesh import PARTICLE_AXIS
+
+__all__ = ["sharded_sweep"]
+
+
+def _global_particle_keys(key, tag, t, gids):
+    base = rngmod.step_key(key, tag, t)
+    return jax.vmap(lambda i: jax.random.fold_in(base, i))(gids)
+
+
+def sharded_sweep(
+    key: jax.Array,
+    kernel,
+    n_particles: int,
+    resampler: ResampleWithESSThreshold,
+    mesh: Mesh,
+    ref: Any = None,
+    ancestor_sampling: bool = False,
+    store_states: bool = True,
+    axis: str = PARTICLE_AXIS,
+) -> SweepResult:
+    """Sharded counterpart of :func:`advancedps_tpu.engine.sweep`.
+
+    ``n_particles`` must divide evenly by the mesh's ``axis`` size.  Returns a
+    :class:`SweepResult` whose per-particle arrays are global (sharded) arrays.
+    """
+    n = n_particles
+    K = mesh.shape[axis]
+    if n % K:
+        raise ValueError(f"n_particles={n} not divisible by mesh axis {axis}={K}")
+    L = n // K
+    T = kernel.num_steps
+    has_ref = ref is not None
+    if ancestor_sampling and not has_ref:
+        raise ValueError("ancestor_sampling requires a reference trajectory")
+    n_resample = n - 1 if has_ref else n
+
+    def body(key, kernel, ref):
+        k_idx = lax.axis_index(axis)
+        gids = k_idx * L + jnp.arange(L)
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+
+        ref_mask = (gids == (n - 1)) if has_ref else None
+
+        def gather_all(x):
+            return jax.tree_util.tree_map(
+                lambda a: lax.all_gather(a, axis, tiled=True), x
+            )
+
+        def exchange(state, local_anc):
+            state_all = gather_all(state)
+            return jax.tree_util.tree_map(
+                lambda a: jnp.take(a, local_anc, axis=0), state_all
+            )
+
+        # ---- t = 0
+        keys0 = _global_particle_keys(key, rngmod.INIT, 0, gids)
+        state, logw = kernel.init(keys0, _ref_slice(ref, 0), ref_mask)
+        logw_all = lax.all_gather(logw, axis, tiled=True)
+        log_z = jax.scipy.special.logsumexp(logw_all) - jnp.log(
+            jnp.asarray(float(n))
+        )
+
+        def step(carry, t):
+            state, logw, log_z = carry
+
+            logw_all = lax.all_gather(logw, axis, tiled=True)
+            weights_all = jax.nn.softmax(logw_all)
+            ess = effective_sample_size(weights_all)
+            do_rs = ess <= resampler.threshold * n
+
+            # Replicated ancestor computation — same function, same key as the
+            # single-chip engine ⇒ bitwise identical indices.
+            rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
+            anc_drawn = resampler.resampler(rs_key, weights_all, n_resample)
+            if has_ref:
+                ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
+                if ancestor_sampling:
+                    ref_t = _ref_slice(ref, t)
+                    local_tlp = kernel.transition_logprob(t, state, ref_t)
+                    tlp_all = lax.all_gather(local_tlp, axis, tiled=True)
+                    anc_logw = logw_all + tlp_all
+                    anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
+                    ref_anc = randcat(anc_key, jax.nn.softmax(anc_logw)).astype(
+                        jnp.int32
+                    )
+                anc_resampled = jnp.concatenate([anc_drawn, ref_anc[None]])
+            else:
+                anc_resampled = anc_drawn
+            anc = jnp.where(do_rs, anc_resampled, iota_n)  # [N] replicated
+            local_anc = anc[gids]  # [L]
+
+            # State exchange only when resampling actually fires.
+            state_rs = lax.cond(
+                do_rs,
+                lambda s: exchange(s, local_anc),
+                lambda s: s,
+                state,
+            )
+            logw_pre = jnp.where(do_rs, jnp.zeros_like(logw), logw)
+            log_z0 = jax.scipy.special.logsumexp(
+                jnp.where(do_rs, jnp.zeros_like(logw_all), logw_all)
+            )
+
+            keys = _global_particle_keys(key, rngmod.PROPAGATE, t, gids)
+            state_new, score = kernel.step(
+                t, keys, state_rs, _ref_slice(ref, t), ref_mask
+            )
+            logw_new = logw_pre + score
+
+            logw_new_all = lax.all_gather(logw_new, axis, tiled=True)
+            log_z1 = jax.scipy.special.logsumexp(logw_new_all)
+            log_z = log_z + (log_z1 - log_z0)
+
+            out = (
+                kernel.snapshot(state_new) if store_states else None,
+                local_anc,
+                ess,
+                do_rs,
+            )
+            return (state_new, logw_new, log_z), out
+
+        (state, logw, log_z), (snaps, ancs, esss, rss) = lax.scan(
+            step, (state, logw, log_z), jnp.arange(1, T)
+        )
+        return state, logw, log_z, snaps, ancs, esss, rss
+
+    p = P(axis)
+    rep = P()
+    kernel_specs = jax.tree_util.tree_map(lambda _: rep, kernel)
+    ref_specs = jax.tree_util.tree_map(lambda _: rep, ref)
+
+    shmapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(rep, kernel_specs, ref_specs),
+        out_specs=(
+            p,  # state pytree: sharded on the particle axis
+            p,  # logw
+            rep,  # log_z (replicated computation)
+            P(None, axis) if store_states else None,  # snaps [T-1, N, ...]
+            P(None, axis),  # ancestors [T-1, N]
+            rep,  # ess
+            rep,  # resampled flags
+        ),
+        check_vma=False,
+    )
+
+    state, logw, log_z, snaps, ancs, esss, rss = shmapped(key, kernel, ref)
+
+    # Reconstruct the t=0 pieces (identical keys ⇒ identical values).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ancestors = jnp.concatenate([iota[None], ancs], axis=0)
+    ess0 = jnp.asarray(float(n), dtype=esss.dtype)
+    ess = jnp.concatenate([ess0[None], esss])
+    resampled = jnp.concatenate([jnp.zeros((1,), dtype=bool), rss])
+
+    states = None
+    if store_states:
+        snap0 = _initial_snapshot(key, kernel, n, mesh, ref, axis)
+        states = jax.tree_util.tree_map(
+            lambda s0, ss: jnp.concatenate([s0[None], ss], axis=0), snap0, snaps
+        )
+
+    return SweepResult(
+        log_evidence=log_z,
+        log_weights=logw,
+        states=states,
+        ancestors=ancestors,
+        final_state=state,
+        ess=ess,
+        resampled=resampled,
+    )
+
+
+def _initial_snapshot(key, kernel, n, mesh, ref, axis):
+    """Recompute the t=0 snapshot (deterministic in ``key``)."""
+    L = n // mesh.shape[axis]
+    has_ref = ref is not None
+
+    def init_body(key, kernel, ref):
+        k_idx = lax.axis_index(axis)
+        gids = k_idx * L + jnp.arange(L)
+        ref_mask = (gids == (n - 1)) if has_ref else None
+        keys0 = _global_particle_keys(key, rngmod.INIT, 0, gids)
+        state, _ = kernel.init(keys0, _ref_slice(ref, 0), ref_mask)
+        return kernel.snapshot(state)
+
+    rep = P()
+    return jax.shard_map(
+        init_body,
+        mesh=mesh,
+        in_specs=(rep, jax.tree_util.tree_map(lambda _: rep, kernel),
+                  jax.tree_util.tree_map(lambda _: rep, ref)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(key, kernel, ref)

@@ -1,0 +1,152 @@
+"""Vectorised resampling schemes.
+
+The reference implements four ancestor-index samplers as sequential CDF walks
+(``/root/reference/src/resampling.jl``: ``resample_systematic`` :149-183,
+``resample_stratified`` :98-131, ``resample_multinomial`` :31-35,
+``resample_residual`` :53-81, plus ``randcat`` :11-21 and the ESS-threshold wrapper
+:193-204).  Those are O(N) scalar loops — exactly the shape TPUs are worst at.
+
+Here each scheme is a single vectorised expression over the particle axis:
+``cumsum`` of the weights plus a ``searchsorted`` (binary search batched on the VPU).
+The math is identical: sample ``x_i = j`` iff ``u_i ∈ [cum_{j-1}, cum_j)``.
+
+All resamplers share the signature ``resampler(key, weights, n) -> int32[n]`` where
+``weights`` are normalised probabilities.  They are jit/vmap/shard_map-safe (fixed
+shapes, no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .utils.trees import pytree_dataclass, static_field
+
+__all__ = [
+    "randcat",
+    "resample_systematic",
+    "resample_stratified",
+    "resample_multinomial",
+    "resample_residual",
+    "DEFAULT_RESAMPLER",
+    "ResampleWithESSThreshold",
+    "effective_sample_size",
+]
+
+
+def _inverse_cdf(weights: jax.Array, us: jax.Array) -> jax.Array:
+    """Map ordered or unordered uniforms ``us`` through the weight CDF.
+
+    Returns ``idx`` with ``idx_i = j`` iff ``u_i ∈ [cum_{j-1}, cum_j)`` — the same
+    selection rule as the reference's sequential walks
+    (``/root/reference/src/resampling.jl:149-183``), computed as a batched binary
+    search instead of a scalar loop.
+    """
+    cdf = jnp.cumsum(weights)
+    # Clamp: floating cumsum of normalised weights may end slightly below 1.
+    idx = jnp.searchsorted(cdf, us, side="right")
+    return jnp.clip(idx, 0, weights.shape[0] - 1).astype(jnp.int32)
+
+
+def randcat(key: jax.Array, weights: jax.Array) -> jax.Array:
+    """One categorical draw by CDF inversion (reference ``randcat``,
+    ``/root/reference/src/resampling.jl:11-21``)."""
+    u = jax.random.uniform(key, dtype=weights.dtype)
+    return _inverse_cdf(weights, u)
+
+
+def resample_systematic(key: jax.Array, weights: jax.Array, n: int) -> jax.Array:
+    """Systematic resampling: one shared uniform, ``u_k = (u + k) / n``.
+
+    Reference: ``/root/reference/src/resampling.jl:149-183``.
+    """
+    u = jax.random.uniform(key, dtype=weights.dtype)
+    us = (u + jnp.arange(n, dtype=weights.dtype)) / n
+    return _inverse_cdf(weights, us)
+
+
+def resample_stratified(key: jax.Array, weights: jax.Array, n: int) -> jax.Array:
+    """Stratified resampling: ``u_k ~ U[(k-1)/n, k/n)``.
+
+    Reference: ``/root/reference/src/resampling.jl:98-131``.
+    """
+    u = jax.random.uniform(key, (n,), dtype=weights.dtype)
+    us = (u + jnp.arange(n, dtype=weights.dtype)) / n
+    return _inverse_cdf(weights, us)
+
+
+def resample_multinomial(key: jax.Array, weights: jax.Array, n: int) -> jax.Array:
+    """Multinomial resampling: n iid categorical draws.
+
+    Reference: ``/root/reference/src/resampling.jl:31-35``.
+    """
+    us = jax.random.uniform(key, (n,), dtype=weights.dtype)
+    return _inverse_cdf(weights, us)
+
+
+def resample_residual(key: jax.Array, weights: jax.Array, n: int) -> jax.Array:
+    """Residual resampling: ``floor(n·w_i)`` deterministic copies of particle ``i``,
+    remaining slots multinomial on the residual weights.
+
+    Reference: ``/root/reference/src/resampling.jl:53-81``.  Vectorised formulation:
+    with ``c = cumsum(floor(n·w))`` the deterministic copies occupy output slots
+    ``k < c[-1]`` and slot ``k`` holds ``searchsorted(c, k, 'right')``; the remaining
+    slots draw from the residual distribution.  Fixed shapes throughout (the
+    data-dependent count of deterministic copies becomes a mask, not a shape).
+    """
+    scaled = n * weights
+    floors = jnp.floor(scaled)
+    residuals = scaled - floors
+    counts_cdf = jnp.cumsum(floors)
+    n_det = counts_cdf[-1]  # number of deterministic copies (traced scalar)
+
+    slots = jnp.arange(n, dtype=weights.dtype)
+    det_idx = jnp.searchsorted(counts_cdf, slots, side="right")
+    det_idx = jnp.clip(det_idx, 0, weights.shape[0] - 1).astype(jnp.int32)
+
+    res_total = jnp.sum(residuals)
+    # Guard the fully-deterministic case (all residuals zero).
+    safe = jnp.where(res_total > 0, res_total, 1.0)
+    res_weights = residuals / safe
+    res_idx = resample_multinomial(key, res_weights, n)
+
+    return jnp.where(slots < n_det, det_idx, res_idx)
+
+
+DEFAULT_RESAMPLER = resample_systematic
+
+
+def effective_sample_size(weights: jax.Array) -> jax.Array:
+    """ESS = 1 / Σ wᵢ² of normalised weights
+    (reference ``effectiveSampleSize``, ``/root/reference/src/container.jl:116-119``)."""
+    return 1.0 / jnp.sum(jnp.square(weights))
+
+
+@pytree_dataclass
+class ResampleWithESSThreshold:
+    """Resample with ``resampler`` iff ESS ≤ ``threshold · n``.
+
+    Reference: ``/root/reference/src/resampling.jl:193-204`` with defaults
+    (systematic, 0.5) and the gate ``ess ≤ threshold * n`` in
+    ``/root/reference/src/container.jl:242-244``.  Inside ``jit`` the gate is a
+    branchless select in the sweep engine — both the resampled ancestor indices and
+    the identity permutation are cheap, so we compute the indices and ``where`` on
+    the gate (SURVEY.md §7 hard part (c)).
+    """
+
+    resampler: object = static_field(default=DEFAULT_RESAMPLER)
+    threshold: float = static_field(default=0.5)
+
+    def __call__(self, key, weights, n):
+        return self.resampler(key, weights, n)
+
+    def should_resample(self, weights, n):
+        return effective_sample_size(weights) <= self.threshold * n
+
+
+def as_gated_resampler(resampler) -> ResampleWithESSThreshold:
+    """Normalise a bare resampler function to an always-on gated resampler."""
+    if isinstance(resampler, ResampleWithESSThreshold):
+        return resampler
+    # A bare function resamples every step (threshold 1.0 ⇒ ESS ≤ N always holds).
+    return ResampleWithESSThreshold(resampler=resampler, threshold=float("inf"))

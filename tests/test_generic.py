@@ -1,0 +1,116 @@
+"""Generic-model front-end (the Libtask-extension replacement, SURVEY.md §2.9):
+structure tracing, replay-free value materialisation, PG over arbitrary programs.
+Mirrors the generic-model legs of ``/root/reference/test/smc.jl`` and
+``test/container.jl:122-165``.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import advancedps_tpu as aps
+from advancedps_tpu.distributions import Bernoulli, Beta, Gamma, Normal
+
+
+def test_structure_discovery():
+    def m(ctx):
+        a = ctx.sample(Normal(4.0, 5.0), name="a")
+        ctx.observe(Normal(a, 2.0), 3.0)
+        b = ctx.sample(Normal(a, 1.0), name="b")
+        ctx.observe(Normal(b, 2.0), 1.5)
+
+    gm = aps.GenericModel(m)
+    assert gm.num_steps == 2
+    assert [s.name for s in gm.sites] == ["a", "b"]
+    assert [s.segment for s in gm.sites] == [0, 1]
+    assert gm.flat_size == 2
+
+
+def test_normal_model_smoke():
+    # NormalModel smoke test (/root/reference/test/smc.jl:24-47).
+    def m(ctx):
+        a = ctx.sample(Normal(4.0, 5.0), name="a")
+        ctx.observe(Normal(a, 2.0), 3.0)
+        b = ctx.sample(Normal(a, 1.0), name="b")
+        ctx.observe(Normal(b, 2.0), 1.5)
+
+    out = aps.sample(jax.random.key(0), aps.GenericModel(m), aps.SMC(100))
+    assert np.isfinite(float(out.log_evidence))
+    assert out.trajectories.shape == (2, 100, 2)
+
+
+def test_pg_analytic_log_evidence():
+    # PG mean logZ ≈ −2 log 2 within 0.01 (/root/reference/test/smc.jl:155-158).
+    def m(ctx):
+        ctx.sample(Normal(0.0, 1.0), name="a")
+        x = ctx.sample(Bernoulli(1.0), name="x")
+        ctx.sample(Gamma(2.0, 3.0), name="b")
+        ctx.observe(Bernoulli(x / 2.0), 1.0)
+        ctx.sample(Beta(1.0, 1.0), name="c")
+        ctx.observe(Bernoulli(x / 2.0), 0.0)
+
+    gm = aps.GenericModel(m)
+    chain = aps.sample(jax.random.key(100), gm, aps.PG(10), 100)
+    mean_logz = float(np.asarray(chain.log_evidence).mean())
+    assert abs(mean_logz - (-2.0 * math.log(2.0))) < 0.01
+    final = gm.decode(np.asarray(chain.trajectory)[:, -1, :])
+    assert bool((final["x"] == 1.0).all())
+
+
+def test_single_particle_pg_replay():
+    # DummyModel replay (/root/reference/test/smc.jl:161-189): PG(1) must return
+    # bitwise-identical values in consecutive iterations.
+    def m(ctx):
+        a = ctx.sample(Normal(0.0, 1.0), name="a")
+        ctx.observe(Normal(0.0, 1.0), a)
+        b = ctx.sample(Normal(0.0, 1.0), name="b")
+        ctx.observe(Normal(0.0, 1.0), b)
+
+    gm = aps.GenericModel(m)
+    chain = aps.sample(jax.random.key(0), gm, aps.PG(1), 2)
+    first = gm.decode(np.asarray(chain.trajectory)[0, -1])
+    second = gm.decode(np.asarray(chain.trajectory)[1, -1])
+    assert float(first["a"]) == float(second["a"])
+    assert float(first["b"]) == float(second["b"])
+    z = np.asarray(chain.log_evidence)
+    assert float(z[0]) == float(z[1])
+
+
+def test_multivariate_sites():
+    def m(ctx):
+        v = ctx.sample(Normal(jnp.zeros(3), jnp.ones(3)), name="v")
+        ctx.observe(Normal(v.sum(), 1.0), 0.5)
+
+    gm = aps.GenericModel(m)
+    assert gm.flat_size == 3
+    out = aps.sample(jax.random.key(0), gm, aps.SMC(50))
+    dec = gm.decode(out.trajectories[-1])
+    assert dec["v"].shape == (50, 3)
+
+
+def test_conditional_structure_rejected():
+    def m(ctx):
+        a = ctx.sample(Normal(4.0, 5.0), name="a")
+        b = ctx.sample(Normal(a, 1.0), name="b")
+        if a >= 4:  # data-dependent structure
+            ctx.observe(Normal(b, 2.0), 1.5)
+
+    with pytest.raises(Exception, match="mis-aligned|at least one observe"):
+        gm = aps.GenericModel(m)
+        aps.sample(jax.random.key(0), gm, aps.SMC(10))
+
+
+def test_generic_determinism():
+    def m(ctx):
+        a = ctx.sample(Normal(0.0, 1.0), name="a")
+        ctx.observe(Normal(a, 1.0), 0.3)
+        b = ctx.sample(Normal(a, 1.0), name="b")
+        ctx.observe(Normal(b, 1.0), -0.1)
+
+    gm = aps.GenericModel(m)
+    c1 = aps.sample(jax.random.key(3), gm, aps.PG(8), 5)
+    c2 = aps.sample(jax.random.key(3), gm, aps.PG(8), 5)
+    assert bool((c1.trajectory == c2.trajectory).all())

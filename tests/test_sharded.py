@@ -1,0 +1,142 @@
+"""Multi-device equivalence: the sharded sweep vs the single-chip engine.
+
+This is oracle (5) from SURVEY.md §4 — single-host vs multi-host equivalence on a
+faked 8-device CPU mesh.  The sharded path derives identical per-particle keys and
+resampler uniforms, so in exact arithmetic the sweeps coincide; in float32,
+compiler-chosen reduction orders can differ by 1 ulp and flip an occasional
+ancestor index at a CDF boundary (see ``advancedps_tpu/parallel/sharded.py``
+module docstring).  We therefore assert: near-total ancestor agreement, close
+log-evidence, and bitwise determinism of each path individually.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import advancedps_tpu as aps
+from advancedps_tpu.engine import sweep
+from advancedps_tpu.parallel import particle_mesh, sharded_sweep
+from advancedps_tpu.resampling import (
+    ResampleWithESSThreshold,
+    resample_multinomial,
+    resample_stratified,
+    resample_systematic,
+)
+from advancedps_tpu.smc import SSMKernel
+
+N = 64
+T = 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = aps.models.stationary_lgssm(a=0.9, q=0.32, r=0.5)
+    _, ys = aps.simulate(jax.random.key(0), model, T)
+    traced = aps.TracedSSM(model, ys)
+    return SSMKernel(ssm=traced)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual CPU devices"
+    return particle_mesh(8)
+
+
+def _assert_equivalent(single, sharded):
+    anc_s = np.asarray(single.ancestors)
+    anc_m = np.asarray(sharded.ancestors)
+    agreement = (anc_s == anc_m).mean()
+    assert agreement > 0.99, f"ancestor agreement {agreement}"
+    np.testing.assert_array_equal(
+        np.asarray(single.resampled), np.asarray(sharded.resampled)
+    )
+    np.testing.assert_allclose(
+        float(single.log_evidence), float(sharded.log_evidence), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(single.ess), np.asarray(sharded.ess), rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize(
+    "resampler",
+    [resample_systematic, resample_stratified, resample_multinomial],
+)
+def test_sharded_matches_single_chip(setup, mesh, resampler):
+    kernel = setup
+    gated = ResampleWithESSThreshold(resampler, 0.5)
+    key = jax.random.key(42)
+    _assert_equivalent(
+        sweep(key, kernel, N, gated), sharded_sweep(key, kernel, N, gated, mesh)
+    )
+
+
+def test_sharded_longer_horizon(setup, mesh):
+    # Long sweep: once a single ulp flips one ancestor index, the two runs diverge
+    # chaotically into *different but equally valid* SMC runs — so the long-horizon
+    # contract is statistical: log-evidence and final filtering moments agree
+    # within Monte-Carlo tolerance.
+    model = aps.models.stationary_lgssm(a=0.9, q=0.32, r=1.0)
+    _, ys = aps.simulate(jax.random.key(0), model, 50)
+    kernel = SSMKernel(ssm=aps.TracedSSM(model, ys))
+    gated = ResampleWithESSThreshold()
+    key = jax.random.key(1)
+    single = sweep(key, kernel, 512, gated)
+    sharded = sharded_sweep(key, kernel, 512, gated, mesh)
+    np.testing.assert_allclose(
+        float(single.log_evidence), float(sharded.log_evidence), atol=0.1
+    )
+
+    def final_mean(res):
+        w = np.asarray(jax.nn.softmax(res.log_weights))
+        return (w * np.asarray(res.states)[-1]).sum()
+
+    assert abs(final_mean(single) - final_mean(sharded)) < 0.05
+
+
+def test_sharded_path_is_deterministic(setup, mesh):
+    kernel = setup
+    gated = ResampleWithESSThreshold()
+    a = sharded_sweep(jax.random.key(5), kernel, N, gated, mesh)
+    b = sharded_sweep(jax.random.key(5), kernel, N, gated, mesh)
+    np.testing.assert_array_equal(np.asarray(a.ancestors), np.asarray(b.ancestors))
+    np.testing.assert_array_equal(np.asarray(a.states), np.asarray(b.states))
+    assert float(a.log_evidence) == float(b.log_evidence)
+
+
+def test_sharded_conditional_sweep_with_ancestor_sampling(setup, mesh):
+    kernel = setup
+    gated = ResampleWithESSThreshold(threshold=1.0)
+    key = jax.random.key(3)
+    ref = jnp.linspace(-0.5, 0.5, T)
+
+    single = sweep(key, kernel, N, gated, ref=ref, ancestor_sampling=True)
+    sharded = sharded_sweep(
+        key, kernel, N, gated, mesh, ref=ref, ancestor_sampling=True
+    )
+    _assert_equivalent(single, sharded)
+    # Reference slot follows the retained trajectory on the last shard, exactly.
+    np.testing.assert_allclose(np.asarray(sharded.states)[:, -1], np.asarray(ref))
+    # Reference-slot survival: PG would pin ancestor N-1; PGAS redraws it, but it
+    # must always point at a valid slot.
+    anc_ref = np.asarray(sharded.ancestors)[:, -1]
+    assert ((0 <= anc_ref) & (anc_ref < N)).all()
+
+
+def test_sharded_store_states_false(setup, mesh):
+    kernel = setup
+    gated = ResampleWithESSThreshold()
+    res = sharded_sweep(jax.random.key(1), kernel, N, gated, mesh, store_states=False)
+    assert res.states is None
+    single = sweep(jax.random.key(1), kernel, N, gated, store_states=False)
+    np.testing.assert_allclose(
+        float(single.log_evidence), float(res.log_evidence), atol=0.05
+    )
+
+
+def test_uneven_shard_rejected(setup, mesh):
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_sweep(
+            jax.random.key(0), setup, 60, ResampleWithESSThreshold(), mesh
+        )
