@@ -66,9 +66,10 @@ class SweepKernel:
     All methods are vectorised over the particle axis (leading dim ``N``):
 
     * ``num_steps`` — number of observations ``T``.
-    * ``init(keys[N], ref0, ref_mask) -> (state, logw[N])`` — sample initial latents
+    * ``init(rng, ref0, ref_mask) -> (state, logw[N])`` — sample initial latents
       (slot ``N-1`` reads ``ref0`` when a reference is present) and score ``y_0``.
-    * ``step(t, keys[N], state, ref_t, ref_mask) -> (state, logw[N])`` — one
+      ``rng`` is a :class:`~advancedps_tpu.rng.StepRng`.
+    * ``step(t, rng, state, ref_t, ref_mask) -> (state, logw[N])`` — one
       transition + observation score.  ``state`` is an arbitrary pytree with leading
       axis ``N``; resampling gathers it wholesale.
     * ``snapshot(state) -> pytree [N, ...] | None`` — the per-step value recorded for
@@ -80,10 +81,10 @@ class SweepKernel:
 
     num_steps: int
 
-    def init(self, keys, ref0, ref_mask):
+    def init(self, rng, ref0, ref_mask):
         raise NotImplementedError
 
-    def step(self, t, keys, state, ref_t, ref_mask):
+    def step(self, t, rng, state, ref_t, ref_mask):
         raise NotImplementedError
 
     def snapshot(self, state):
@@ -173,11 +174,13 @@ def sweep(
     if has_ref:
         ref_mask = jnp.arange(n) == (n - 1)
 
+    gids = jnp.arange(n)
+
     # --- t = 0: sample initial states, weight with y_0.  The reference's leading
     # resample_propagate! acts on weightless fresh particles (uniform weights, no
     # state), so it is a statistical no-op; we skip it (call stack SURVEY.md §3.1).
-    keys0 = rngmod.particle_keys(key, rngmod.INIT, 0, n)
-    state, logw = kernel.init(keys0, _ref_slice(ref, 0), ref_mask)
+    rng0 = rngmod.StepRng(key=rngmod.step_key(key, rngmod.INIT, 0), gids=gids)
+    state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
     log_z = jax.scipy.special.logsumexp(logw) - jnp.log(jnp.asarray(float(n)))
 
     snap0 = kernel.snapshot(state)
@@ -220,8 +223,12 @@ def sweep(
         # ---- propagate + score: the fused hot kernel
         # (reference hot loop /root/reference/src/container.jl:259-302 +
         # /root/reference/src/pgas.jl:53-89, now one vectorised op).
-        keys = rngmod.particle_keys(key, rngmod.PROPAGATE, t, n)
-        state_new, score = kernel.step(t, keys, state_rs, _ref_slice(ref, t), ref_mask)
+        rng_t = rngmod.StepRng(
+            key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids
+        )
+        state_new, score = kernel.step(
+            t, rng_t, state_rs, _ref_slice(ref, t), ref_mask
+        )
         logw_new = logw_pre + score
 
         # ---- log-evidence increment (Del Moral estimator,

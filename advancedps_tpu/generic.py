@@ -244,19 +244,19 @@ class GenericSSMKernel(SweepKernel):
     def num_steps(self) -> int:
         return self.model.num_steps
 
-    def _advance(self, t, keys, values, ref_t, ref_mask):
+    def _advance(self, t, rng, values, ref_t, ref_mask):
+        keys = rng.particle_keys()
         new_vals = jax.vmap(lambda k, v: self.model.run_sample(t, k, v))(keys, values)
         new_vals = inject_ref(ref_mask, ref_t, new_vals)
         logw = jax.vmap(lambda v: self.model.run_score(t, v))(new_vals)
         return new_vals, logw
 
-    def init(self, keys, ref0, ref_mask):
-        n = keys.shape[0]
-        values = jnp.zeros((n, self.model.flat_size), dtype=jnp.result_type(float))
-        return self._advance(jnp.asarray(0), keys, values, ref0, ref_mask)
+    def init(self, rng, ref0, ref_mask):
+        values = jnp.zeros((rng.n, self.model.flat_size), dtype=jnp.result_type(float))
+        return self._advance(jnp.asarray(0), rng, values, ref0, ref_mask)
 
-    def step(self, t, keys, state, ref_t, ref_mask):
-        return self._advance(t, keys, state, ref_t, ref_mask)
+    def step(self, t, rng, state, ref_t, ref_mask):
+        return self._advance(t, rng, state, ref_t, ref_mask)
 
     def snapshot(self, state):
         return state

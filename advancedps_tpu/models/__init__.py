@@ -19,3 +19,16 @@ __all__ = [
     "StochasticVolatilityObservation",
     "stochastic_volatility_ssm",
 ]
+
+from .levy import GammaProcess, LevyLangevinDynamics, LevyPrior, levy_ssm
+from .gp_ssm import GPDynamics, SqExponentialKernel, gp_ssm
+
+__all__ += [
+    "GammaProcess",
+    "LevyLangevinDynamics",
+    "LevyPrior",
+    "levy_ssm",
+    "GPDynamics",
+    "SqExponentialKernel",
+    "gp_ssm",
+]

@@ -35,6 +35,8 @@ __all__ = [
 
 @pytree_dataclass
 class GaussianPrior(StatePrior):
+    vectorized = True
+
     mu: jax.Array = 0.0
     sigma: jax.Array = 1.0
 
@@ -44,6 +46,8 @@ class GaussianPrior(StatePrior):
 
 @pytree_dataclass
 class LinearGaussianDynamics(LatentDynamics):
+    vectorized = True
+
     a: jax.Array = 1.0
     b: jax.Array = 0.0
     q: jax.Array = 1.0
@@ -54,6 +58,8 @@ class LinearGaussianDynamics(LatentDynamics):
 
 @pytree_dataclass
 class LinearGaussianObservation(ObservationProcess):
+    vectorized = True
+
     h: jax.Array = 1.0
     r: jax.Array = 1.0
 

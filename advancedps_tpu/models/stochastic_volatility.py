@@ -20,6 +20,8 @@ __all__ = ["StochasticVolatilityObservation", "stochastic_volatility_ssm"]
 
 @pytree_dataclass
 class StochasticVolatilityObservation(ObservationProcess):
+    vectorized = True
+
     def distribution(self, step, state):
         return Normal(0.0, jnp.exp(state / 2.0))
 

@@ -5,6 +5,7 @@ from .mesh import (
     particle_mesh,
     shard_along,
 )
+from .pg import reconstruct_one_sharded, sharded_sample_pg, sharded_step_pg
 from .sharded import sharded_sweep
 
 __all__ = [
@@ -14,4 +15,7 @@ __all__ = [
     "particle_mesh",
     "shard_along",
     "sharded_sweep",
+    "sharded_step_pg",
+    "sharded_sample_pg",
+    "reconstruct_one_sharded",
 ]

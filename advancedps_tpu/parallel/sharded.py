@@ -55,9 +55,8 @@ from .mesh import PARTICLE_AXIS
 __all__ = ["sharded_sweep"]
 
 
-def _global_particle_keys(key, tag, t, gids):
-    base = rngmod.step_key(key, tag, t)
-    return jax.vmap(lambda i: jax.random.fold_in(base, i))(gids)
+def _step_rng(key, tag, t, gids):
+    return rngmod.StepRng(key=rngmod.step_key(key, tag, t), gids=gids)
 
 
 def sharded_sweep(
@@ -106,8 +105,8 @@ def sharded_sweep(
             )
 
         # ---- t = 0
-        keys0 = _global_particle_keys(key, rngmod.INIT, 0, gids)
-        state, logw = kernel.init(keys0, _ref_slice(ref, 0), ref_mask)
+        rng0 = _step_rng(key, rngmod.INIT, 0, gids)
+        state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
         logw_all = lax.all_gather(logw, axis, tiled=True)
         log_z = jax.scipy.special.logsumexp(logw_all) - jnp.log(
             jnp.asarray(float(n))
@@ -154,9 +153,9 @@ def sharded_sweep(
                 jnp.where(do_rs, jnp.zeros_like(logw_all), logw_all)
             )
 
-            keys = _global_particle_keys(key, rngmod.PROPAGATE, t, gids)
+            rng_t = _step_rng(key, rngmod.PROPAGATE, t, gids)
             state_new, score = kernel.step(
-                t, keys, state_rs, _ref_slice(ref, t), ref_mask
+                t, rng_t, state_rs, _ref_slice(ref, t), ref_mask
             )
             logw_new = logw_pre + score
 
@@ -234,8 +233,8 @@ def _initial_snapshot(key, kernel, n, mesh, ref, axis):
         k_idx = lax.axis_index(axis)
         gids = k_idx * L + jnp.arange(L)
         ref_mask = (gids == (n - 1)) if has_ref else None
-        keys0 = _global_particle_keys(key, rngmod.INIT, 0, gids)
-        state, _ = kernel.init(keys0, _ref_slice(ref, 0), ref_mask)
+        rng0 = _step_rng(key, rngmod.INIT, 0, gids)
+        state, _ = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
         return kernel.snapshot(state)
 
     rep = P()

@@ -34,6 +34,7 @@ __all__ = [
     "INIT",
     "step_key",
     "particle_keys",
+    "StepRng",
 ]
 
 # Stream tags: disjoint randomness streams within one sweep.
@@ -57,3 +58,38 @@ def particle_keys(key: jax.Array, tag: int, t, n: int) -> jax.Array:
     """
     base = step_key(key, tag, t)
     return jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(n))
+
+
+from .utils.trees import pytree_dataclass  # noqa: E402  (avoid cycle at top)
+
+
+@pytree_dataclass
+class StepRng:
+    """Per-(stream, step) randomness handed to a sweep kernel.
+
+    ``key`` is already folded with (tag, t); ``gids`` are the **global** particle
+    ids covered by this kernel invocation (``arange(N)`` single-chip, the local
+    shard's slice under ``shard_map``).
+
+    Two consumption styles:
+
+    * :meth:`batch_key` — one key for a single batched ``sample`` over the whole
+      slice (one Threefry counter pass; the TPU-fast path).  Distinct per shard
+      because it folds in the slice's first global id.
+    * :meth:`particle_keys` — one key per particle (general path for kernels whose
+      per-particle computation cannot be expressed as a batched distribution,
+      e.g. Lévy jump paths or GP history solves).
+    """
+
+    key: jax.Array
+    gids: jax.Array
+
+    def batch_key(self) -> jax.Array:
+        return jax.random.fold_in(self.key, self.gids[0])
+
+    def particle_keys(self) -> jax.Array:
+        return jax.vmap(lambda i: jax.random.fold_in(self.key, i))(self.gids)
+
+    @property
+    def n(self) -> int:
+        return self.gids.shape[0]

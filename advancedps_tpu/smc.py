@@ -54,39 +54,52 @@ class SSMKernel(SweepKernel):
     # -- helpers -----------------------------------------------------------
     def _obs_logw(self, t, x):
         y_t = jax.tree_util.tree_map(lambda a: a[t], self.ssm.observations)
-        return jax.vmap(lambda xi: self.ssm.observation.log_prob(t, xi, y_t))(x)
+        obs = self.ssm.observation
+        if obs.vectorized:
+            return obs.log_prob(t, x, y_t)
+        return jax.vmap(lambda xi: obs.log_prob(t, xi, y_t))(x)
 
     def _hist(self, buf, t):
         return History(states=buf, length=t)
 
     # -- SweepKernel interface ---------------------------------------------
-    def init(self, keys, ref0, ref_mask):
+    def init(self, rng, ref0, ref_mask):
         prior = self.ssm.prior
-        x0 = jax.vmap(lambda k: prior.sample(k))(keys)
+        n = rng.n
+        if prior.vectorized:
+            # One batched counter pass (TPU-fast path).
+            x0 = prior.distribution().sample(rng.batch_key(), (n,))
+        else:
+            x0 = jax.vmap(lambda k: prior.sample(k))(rng.particle_keys())
         x0 = inject_ref(ref_mask, ref0, x0)
         logw = self._obs_logw(0, x0)
         if self._markov:
             state = x0
         else:
-            n = keys.shape[0]
             T = self.num_steps
             buf = jnp.zeros((n, T) + x0.shape[1:], dtype=jnp.result_type(x0))
             buf = buf.at[:, 0].set(x0)
             state = (x0, buf)
         return state, logw
 
-    def step(self, t, keys, state, ref_t, ref_mask):
+    def step(self, t, rng, state, ref_t, ref_mask):
         dyn = self.ssm.dynamics
         if self._markov:
             x_prev = state
-            x_new = jax.vmap(lambda k, x: dyn.sample(k, t, x))(keys, x_prev)
+            if dyn.vectorized:
+                # distribution(t, x_batch) broadcasts ⇒ one batched sample.
+                x_new = dyn.distribution(t, x_prev).sample(rng.batch_key())
+            else:
+                x_new = jax.vmap(lambda k, x: dyn.sample(k, t, x))(
+                    rng.particle_keys(), x_prev
+                )
             x_new = inject_ref(ref_mask, ref_t, x_new)
             return x_new, self._obs_logw(t, x_new)
 
         x_prev, buf = state
         x_new = jax.vmap(
             lambda k, x, b: dyn.sample(k, t, x, self._hist(b, t))
-        )(keys, x_prev, buf)
+        )(rng.particle_keys(), x_prev, buf)
         x_new = inject_ref(ref_mask, ref_t, x_new)
         buf = buf.at[:, t].set(x_new)
         return (x_new, buf), self._obs_logw(t, x_new)
@@ -97,6 +110,8 @@ class SSMKernel(SweepKernel):
     def transition_logprob(self, t, state, ref_t):
         dyn = self.ssm.dynamics
         if self._markov:
+            if dyn.vectorized:
+                return dyn.distribution(t, state).log_prob(ref_t)
             return jax.vmap(lambda x: dyn.log_prob(t, x, ref_t))(state)
         x_prev, buf = state
         return jax.vmap(

@@ -41,7 +41,14 @@ __all__ = [
 
 
 class StatePrior:
-    """Initial-state distribution. Subclass and implement ``distribution(self)``."""
+    """Initial-state distribution. Subclass and implement ``distribution(self)``.
+
+    ``vectorized = True`` declares that sampling N draws via
+    ``distribution().sample(key, (n,))`` is valid — the sweep engine then uses one
+    batched counter pass per step (the TPU-fast path) instead of per-particle keys.
+    """
+
+    vectorized: bool = False
 
     def distribution(self):
         raise NotImplementedError
@@ -59,9 +66,16 @@ class LatentDynamics:
     Implement ``distribution(self, step, state)`` — or, for non-Markovian models,
     set ``needs_history = True`` and implement
     ``distribution(self, step, state, history)``.
+
+    ``vectorized = True`` declares that ``distribution(step, x_batch)`` with a
+    batched state array returns a correctly-batched distribution (i.e. the
+    parameter computation broadcasts elementwise) — the engine then samples all
+    particles with one key in one counter pass.  Leave ``False`` for per-particle
+    computations that do not broadcast (matrix solves, jump-path simulation).
     """
 
     needs_history: bool = False
+    vectorized: bool = False
 
     def distribution(self, step, state, history=None):
         raise NotImplementedError
@@ -79,7 +93,12 @@ class LatentDynamics:
 
 
 class ObservationProcess:
-    """Observation kernel ``y_t | x_t``. Implement ``distribution(self, step, state)``."""
+    """Observation kernel ``y_t | x_t``. Implement ``distribution(self, step, state)``.
+
+    ``vectorized = True``: ``distribution(step, x_batch)`` broadcasts (see
+    :class:`LatentDynamics`)."""
+
+    vectorized: bool = False
 
     def distribution(self, step, state):
         raise NotImplementedError

@@ -1,0 +1,126 @@
+"""Headline benchmark: particles/sec/chip on a 1M-particle LGSSM bootstrap sweep.
+
+The reference publishes no speed numbers (BASELINE.md); the baseline for
+``vs_baseline`` is therefore a faithful single-host vectorised NumPy implementation
+of the same bootstrap particle filter (the closest stand-in for the reference's
+single-process Julia loop, ``/root/reference/src/container.jl:316-363``), measured on
+this machine at a smaller N and compared by per-particle-step throughput.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Diagnostics go to stderr.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# --- config (headline: 1M particles, T=100 — BASELINE.json) ---------------------
+N = 1_000_000
+T = 100
+A, Q, R = 0.9, 0.32, 1.0
+N_NUMPY = 100_000  # baseline measured here, throughput is N-linear (checked)
+
+
+def numpy_baseline_rate(ys: np.ndarray) -> float:
+    """Vectorised NumPy bootstrap filter (adaptive systematic resampling)."""
+    rng = np.random.default_rng(0)
+    sigma0 = math.sqrt(Q * Q / (1 - A * A))
+    n = N_NUMPY
+
+    def run():
+        x = rng.standard_normal(n) * sigma0
+        logw = -0.5 * ((ys[0] - x) / R) ** 2 - math.log(R) - 0.5 * math.log(2 * math.pi)
+        log_z = 0.0
+        for t in range(1, T):
+            m = logw.max()
+            w = np.exp(logw - m)
+            sw = w.sum()
+            wn = w / sw
+            ess = 1.0 / np.square(wn).sum()
+            if ess <= 0.5 * n:
+                u = rng.random()
+                pos = (u + np.arange(n)) / n
+                idx = np.searchsorted(np.cumsum(wn), pos, side="right").clip(0, n - 1)
+                x = x[idx]
+                logw = np.zeros(n)
+            x = A * x + rng.standard_normal(n) * Q
+            logw = logw - 0.5 * ((ys[t] - x) / R) ** 2 - math.log(R) - 0.5 * math.log(2 * math.pi)
+        return log_z
+
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return n * T / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import advancedps_tpu as aps
+    from advancedps_tpu.engine import sweep
+    from advancedps_tpu.smc import SSMKernel
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    model = aps.models.stationary_lgssm(a=A, q=Q, r=R)
+    _, ys = aps.simulate(jax.random.key(0), model, T)
+    traced = aps.TracedSSM(model, ys)
+    kernel = SSMKernel(ssm=traced)
+    gated = aps.SMC(N).resampler
+
+    @jax.jit
+    def run(key):
+        res = sweep(key, kernel, N, gated, store_states=False)
+        return res.log_evidence
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    lz = float(run(jax.random.key(1)))
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s  logZ={lz:.3f}")
+
+    # correctness anchor vs exact Kalman
+    kf = aps.utils.kalman_filter(
+        np.asarray(ys), A, 0.0, Q, 1.0, R, 0.0, math.sqrt(Q * Q / (1 - A * A))
+    )
+    err = abs(lz - float(kf.log_likelihood))
+    log(f"logZ error vs Kalman: {err:.4f}")
+    assert err < 1.0, "bench run failed correctness anchor"
+
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        run(jax.random.key(2 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    rate = N * T / dt
+    log(f"times: {[f'{t*1e3:.1f}ms' for t in times]}  median {dt*1e3:.1f}ms")
+    log(f"throughput: {rate/1e9:.3f} G particle-steps/s/chip")
+
+    np_rate = numpy_baseline_rate(np.asarray(ys))
+    log(f"numpy baseline: {np_rate/1e6:.1f} M particle-steps/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "lgssm_sweep_particle_steps_per_sec_per_chip",
+                "value": rate,
+                "unit": "particle-steps/s",
+                "vs_baseline": rate / np_rate,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Particle Gibbs vs PGAS on a stochastic-volatility model: mixing comparison.
+
+Mirror of ``/root/reference/examples/particle-gibbs/script.jl``: PG path-degenerates
+at early time steps; PGAS's ancestor sampling restores the theoretical update rate
+1 − 1/N (script.jl:104-134).
+
+Run:  python examples/particle_gibbs.py  [--particles 20] [--steps 200] [--iters 200]
+"""
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+import advancedps_tpu as aps
+
+
+def update_rate(traj: np.ndarray) -> np.ndarray:
+    """Proportion of iterations in which x_t changes (reference update_rate)."""
+    return (np.abs(np.diff(traj, axis=0)) > 0).mean(axis=0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--particles", type=int, default=20)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--iters", type=int, default=200)
+    args = p.parse_args()
+
+    model = aps.models.stochastic_volatility_ssm(a=0.9, q=0.5)
+    xs, ys = aps.simulate(jax.random.key(1234), model, args.steps)
+    traced = aps.TracedSSM(model, ys)
+
+    results = {}
+    for name, sampler in [
+        ("PG", aps.PG(args.particles, 1.0)),
+        ("PGAS", aps.PGAS(args.particles)),
+    ]:
+        t0 = time.perf_counter()
+        chain = aps.sample(jax.random.key(1), traced, sampler, args.iters)
+        jax.block_until_ready(chain.trajectory)
+        dt = time.perf_counter() - t0
+        rate = update_rate(np.asarray(chain.trajectory))
+        results[name] = rate
+        print(f"{name}({args.particles}): {dt:.2f}s — mean update rate "
+              f"{rate.mean():.3f} (early third: {rate[: args.steps // 3].mean():.3f})")
+
+    theory = 1.0 - 1.0 / args.particles
+    print(f"theoretical optimum 1 - 1/N = {theory:.3f}")
+    print(f"PGAS recovers {results['PGAS'].mean() / theory:.1%} of optimal mixing; "
+          f"PG early-time mixing collapse: {results['PG'][: args.steps // 3].mean():.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -67,12 +67,12 @@ class _CtrlKernel(SweepKernel):
         s = jnp.full((self.n,), -jnp.inf)
         return s.at[1].set(0.0)
 
-    def init(self, keys, ref0, ref_mask):
+    def init(self, rng, ref0, ref_mask):
         x = jnp.arange(self.n, dtype=jnp.float32)  # state = original slot id
         x = inject_ref(ref_mask, ref0, x)
         return x, self._scores(x)
 
-    def step(self, t, keys, state, ref_t, ref_mask):
+    def step(self, t, rng, state, ref_t, ref_mask):
         state = inject_ref(ref_mask, ref_t, state)
         return state, self._scores(state)
 

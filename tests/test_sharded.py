@@ -15,7 +15,9 @@ import numpy as np
 import pytest
 
 import advancedps_tpu as aps
+from advancedps_tpu.distributions import Normal
 from advancedps_tpu.engine import sweep
+from advancedps_tpu.utils.trees import pytree_dataclass
 from advancedps_tpu.parallel import particle_mesh, sharded_sweep
 from advancedps_tpu.resampling import (
     ResampleWithESSThreshold,
@@ -29,12 +31,47 @@ N = 64
 T = 12
 
 
+# Non-vectorized LGSSM components: these use the per-particle-key (vmap) path,
+# whose randomness is a pure function of the *global* particle id — so the sharded
+# sweep reproduces the single-chip sweep almost exactly (up to f32 reduction-order
+# flips at CDF boundaries).  The built-in models set vectorized=True and use one
+# batched counter pass per (shard, step) — deliberately different randomness per
+# layout, tested statistically below.
+@pytree_dataclass
+class _Prior(aps.StatePrior):
+    sigma: jax.Array = 0.678
+
+    def distribution(self):
+        return Normal(0.0, self.sigma)
+
+
+@pytree_dataclass
+class _Dyn(aps.LatentDynamics):
+    a: jax.Array = 0.9
+    q: jax.Array = 0.32
+
+    def distribution(self, step, state):
+        return Normal(self.a * state, self.q)
+
+
+@pytree_dataclass
+class _Obs(aps.ObservationProcess):
+    r: jax.Array = 0.5
+
+    def distribution(self, step, state):
+        return Normal(state, self.r)
+
+
+def _kernel(ys):
+    ssm = aps.StateSpaceModel(prior=_Prior(), dynamics=_Dyn(), observation=_Obs())
+    return SSMKernel(ssm=aps.TracedSSM(ssm, ys))
+
+
 @pytest.fixture(scope="module")
 def setup():
     model = aps.models.stationary_lgssm(a=0.9, q=0.32, r=0.5)
     _, ys = aps.simulate(jax.random.key(0), model, T)
-    traced = aps.TracedSSM(model, ys)
-    return SSMKernel(ssm=traced)
+    return _kernel(ys)
 
 
 @pytest.fixture(scope="module")
@@ -72,6 +109,28 @@ def test_sharded_matches_single_chip(setup, mesh, resampler):
     )
 
 
+def test_vectorized_models_agree_statistically(mesh):
+    # Built-in (vectorized=True) models draw layout-dependent randomness; the
+    # sharded and single-chip sweeps are different but equally valid SMC runs:
+    # compare log-evidence and final moments.
+    import math
+
+    a, q, r = 0.9, 0.32, 0.5
+    model = aps.models.stationary_lgssm(a=a, q=q, r=r)
+    _, ys = aps.simulate(jax.random.key(0), model, T)
+    kernel = SSMKernel(ssm=aps.TracedSSM(model, ys))
+    gated = ResampleWithESSThreshold()
+    single = sweep(jax.random.key(2), kernel, 512, gated)
+    sharded = sharded_sweep(jax.random.key(2), kernel, 512, gated, mesh)
+    # Both runs must sit within MC error of the exact marginal likelihood.
+    kf = aps.utils.kalman_filter(
+        np.asarray(ys), a, 0.0, q, 1.0, r, 0.0, math.sqrt(q * q / (1 - a * a))
+    )
+    exact = float(kf.log_likelihood)
+    assert abs(float(single.log_evidence) - exact) < 0.5
+    assert abs(float(sharded.log_evidence) - exact) < 0.5
+
+
 def test_sharded_longer_horizon(setup, mesh):
     # Long sweep: once a single ulp flips one ancestor index, the two runs diverge
     # chaotically into *different but equally valid* SMC runs — so the long-horizon
@@ -79,7 +138,7 @@ def test_sharded_longer_horizon(setup, mesh):
     # within Monte-Carlo tolerance.
     model = aps.models.stationary_lgssm(a=0.9, q=0.32, r=1.0)
     _, ys = aps.simulate(jax.random.key(0), model, 50)
-    kernel = SSMKernel(ssm=aps.TracedSSM(model, ys))
+    kernel = _kernel(ys)
     gated = ResampleWithESSThreshold()
     key = jax.random.key(1)
     single = sweep(key, kernel, 512, gated)
