@@ -198,26 +198,36 @@ def sweep(
         ess = effective_sample_size(weights)
         do_rs = ess <= resampler.threshold * n
 
-        # ---- ancestor indices.
-        rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
-        anc_drawn = resampler.resampler(rs_key, weights, n_resample)
-        if has_ref:
-            ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
-            if ancestor_sampling:
-                # PGAS: w_i^anc = logW_i + log f_t(ref_t | state_i)
-                # (reference math /root/reference/src/pgas.jl:39-46,113-128).
-                ref_t = _ref_slice(ref, t)
-                anc_logw = logw + kernel.transition_logprob(t, state, ref_t)
-                anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
-                ref_anc = randcat(anc_key, jax.nn.softmax(anc_logw)).astype(jnp.int32)
-            anc_resampled = jnp.concatenate([anc_drawn, ref_anc[None]])
-        else:
-            anc_resampled = anc_drawn
-        anc = jnp.where(do_rs, anc_resampled, iota)
+        # ---- resample under lax.cond: the ancestor computation and the state
+        # gather only execute on steps where the gate fires (the jit-compatible
+        # form of the reference's if/else, SURVEY.md §7 hard part (c)).
+        def resample_branch(operand):
+            state, logw = operand
+            rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
+            anc_drawn = resampler.resampler(rs_key, weights, n_resample)
+            if has_ref:
+                ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
+                if ancestor_sampling:
+                    # PGAS: w_i^anc = logW_i + log f_t(ref_t | state_i)
+                    # (reference math /root/reference/src/pgas.jl:39-46,113-128).
+                    ref_t = _ref_slice(ref, t)
+                    anc_logw = logw + kernel.transition_logprob(t, state, ref_t)
+                    anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
+                    ref_anc = randcat(
+                        anc_key, jax.nn.softmax(anc_logw)
+                    ).astype(jnp.int32)
+                anc = jnp.concatenate([anc_drawn, ref_anc[None]])
+            else:
+                anc = anc_drawn
+            return anc, _gather(state, anc), jnp.zeros_like(logw)
 
-        # ---- resample = gather; weight reset (branchless).
-        state_rs = _gather(state, anc)
-        logw_pre = jnp.where(do_rs, jnp.zeros_like(logw), logw)
+        def skip_branch(operand):
+            state, logw = operand
+            return iota, state, logw
+
+        anc, state_rs, logw_pre = lax.cond(
+            do_rs, resample_branch, skip_branch, (state, logw)
+        )
         log_z0 = jax.scipy.special.logsumexp(logw_pre)
 
         # ---- propagate + score: the fused hot kernel
