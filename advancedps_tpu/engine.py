@@ -225,9 +225,10 @@ def sweep(
             state, logw = operand
             return iota, state, logw
 
-        anc, state_rs, logw_pre = lax.cond(
-            do_rs, resample_branch, skip_branch, (state, logw)
-        )
+        with jax.named_scope("aps_resample"):
+            anc, state_rs, logw_pre = lax.cond(
+                do_rs, resample_branch, skip_branch, (state, logw)
+            )
         log_z0 = jax.scipy.special.logsumexp(logw_pre)
 
         # ---- propagate + score: the fused hot kernel
@@ -236,9 +237,10 @@ def sweep(
         rng_t = rngmod.StepRng(
             key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids
         )
-        state_new, score = kernel.step(
-            t, rng_t, state_rs, _ref_slice(ref, t), ref_mask
-        )
+        with jax.named_scope("aps_propagate_score"):
+            state_new, score = kernel.step(
+                t, rng_t, state_rs, _ref_slice(ref, t), ref_mask
+            )
         logw_new = logw_pre + score
 
         # ---- log-evidence increment (Del Moral estimator,

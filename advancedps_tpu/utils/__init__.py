@@ -1,5 +1,6 @@
 from .trees import pytree_dataclass, static_field, replace
 from .kalman import kalman_filter, KalmanResult
+from .checkpoint import ChainCheckpoint, restore_chain, resume_chain, save_chain
 
 __all__ = [
     "pytree_dataclass",
@@ -7,4 +8,8 @@ __all__ = [
     "replace",
     "kalman_filter",
     "KalmanResult",
+    "ChainCheckpoint",
+    "save_chain",
+    "restore_chain",
+    "resume_chain",
 ]

@@ -1,10 +1,12 @@
 """Headline benchmark: particles/sec/chip on a 1M-particle LGSSM bootstrap sweep.
 
 The reference publishes no speed numbers (BASELINE.md); the baseline for
-``vs_baseline`` is therefore a faithful single-host vectorised NumPy implementation
-of the same bootstrap particle filter (the closest stand-in for the reference's
-single-process Julia loop, ``/root/reference/src/container.jl:316-363``), measured on
-this machine at a smaller N and compared by per-particle-step throughput.
+``vs_baseline`` is therefore a native single-core C++ implementation of the same
+bootstrap particle filter (``cpp/resampling.cpp::aps_lgssm_sweep`` — the closest
+stand-in for the reference's compiled single-process Julia loop,
+``/root/reference/src/container.jl:316-363``), measured on this machine at a
+smaller N and compared by per-particle-step throughput.  Falls back to a
+vectorised NumPy implementation if g++ is unavailable.
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -28,6 +30,22 @@ N = 1_000_000
 T = 100
 A, Q, R = 0.9, 0.32, 1.0
 N_NUMPY = 100_000  # baseline measured here, throughput is N-linear (checked)
+
+
+def native_baseline_rate(ys: np.ndarray, sigma0: float) -> float:
+    """Single-core C++ bootstrap sweep (cpp/resampling.cpp)."""
+    from advancedps_tpu.ops import native
+
+    n = N_NUMPY
+    T = len(ys)
+    rng = np.random.default_rng(0)
+    init_noise = rng.standard_normal(n).astype(np.float32)
+    step_noise = rng.standard_normal((T - 1) * n).astype(np.float32)
+    res_u = rng.random(T).astype(np.float32)
+    t0 = time.perf_counter()
+    native.lgssm_sweep(ys, init_noise, step_noise, res_u, n, A, Q, R, sigma0)
+    dt = time.perf_counter() - t0
+    return n * T / dt
 
 
 def numpy_baseline_rate(ys: np.ndarray) -> float:
@@ -65,6 +83,14 @@ def numpy_baseline_rate(ys: np.ndarray) -> float:
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the remote-TPU first compile of the 1M-particle
+    # sweep costs minutes; cache it across bench runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/aps_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     import advancedps_tpu as aps
     from advancedps_tpu.engine import sweep
@@ -107,8 +133,15 @@ def main():
     log(f"times: {[f'{t*1e3:.1f}ms' for t in times]}  median {dt*1e3:.1f}ms")
     log(f"throughput: {rate/1e9:.3f} G particle-steps/s/chip")
 
-    np_rate = numpy_baseline_rate(np.asarray(ys))
-    log(f"numpy baseline: {np_rate/1e6:.1f} M particle-steps/s")
+    from advancedps_tpu.ops import native
+
+    sigma0 = math.sqrt(Q * Q / (1 - A * A))
+    if native.available():
+        np_rate = native_baseline_rate(np.asarray(ys), sigma0)
+        log(f"native C++ baseline: {np_rate/1e6:.1f} M particle-steps/s")
+    else:
+        np_rate = numpy_baseline_rate(np.asarray(ys))
+        log(f"numpy baseline: {np_rate/1e6:.1f} M particle-steps/s")
 
     print(
         json.dumps(
