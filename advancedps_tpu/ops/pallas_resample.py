@@ -36,8 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["decode_ancestors", "systematic_pallas"]
 
 # Block sizes: W output slots per grid step, C extents per inner chunk.
-_W = 512
-_C = 1024  # 1-D dynamic VMEM loads must be 1024-aligned (Mosaic int32 tiling)
+# 1-D int32 arrays tile at 1024 on TPU (8x128); keep both block sizes aligned.
+_W = 1024
+_C = 1024
 
 
 def _decode_kernel(f_ref, out_ref, carry_ref):
@@ -62,8 +63,11 @@ def _decode_kernel(f_ref, out_ref, carry_ref):
     def body(c):
         ptr, h, _ = c
         chunk = f_ref[pl.ds(pl.multiple_of(ptr * _C, _C), _C)]
-        valid = chunk >= base  # entries already consumed by earlier blocks
-        contrib = valid[:, None] & (chunk[:, None] <= base + iota_w)
+        # Broadcast as int32 before comparing: Mosaic only supports minor-dim
+        # insertion for 32-bit types (no 1-bit broadcasts).
+        chunk2 = chunk[:, None] + jnp.zeros((_C, _W), jnp.int32)
+        valid = chunk2 >= base  # entries already consumed by earlier blocks
+        contrib = valid & (chunk2 <= base + iota_w)
         h = h + jnp.sum(contrib.astype(jnp.int32), axis=0)
         last = chunk[_C - 1]
         stop = (last > base + _W - 1) | (ptr + 1 >= num_chunks)

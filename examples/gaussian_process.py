@@ -10,6 +10,11 @@ Run:  python examples/gaussian_process.py  [--particles 20] [--steps 100] [--ite
 import argparse
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import numpy as np
 

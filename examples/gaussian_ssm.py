@@ -11,6 +11,11 @@ import argparse
 import math
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import numpy as np
 

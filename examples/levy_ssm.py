@@ -10,6 +10,11 @@ Run:  python examples/levy_ssm.py  [--particles 50] [--steps 200] [--iters 100]
 import argparse
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import jax
 import numpy as np
 
