@@ -52,10 +52,16 @@ from .resampling import (
     ResampleWithESSThreshold,
     effective_sample_size,
     randcat,
+    resample_systematic,
 )
 from .utils.trees import pytree_dataclass, static_field
 
 __all__ = ["SweepKernel", "SweepResult", "sweep", "lineages", "reconstruct"]
+
+try:  # Pallas TPU fast path for resample+move (optional: needs pallas)
+    from .ops import pallas_resample as _pallas_move
+except Exception:  # pragma: no cover - pallas unavailable
+    _pallas_move = None
 
 
 class SweepKernel:
@@ -204,8 +210,19 @@ def sweep(
         def resample_branch(operand):
             state, logw = operand
             rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
-            anc_drawn = resampler.resampler(rs_key, weights, n_resample)
-            if has_ref:
+
+            # Fast path: the fused Pallas kernel decodes the systematic ancestors
+            # AND moves the whole particle state in one VMEM pass — XLA's dynamic
+            # scatter/gather at 1M particles costs ~8 ms each on v5e, the kernel
+            # ~4 ms total (ops/pallas_resample.py).  Statically chosen at trace
+            # time; exact (same extents formula as ``resample_systematic``).
+            use_fused = (
+                resampler.resampler is resample_systematic
+                and _pallas_move is not None
+                and _pallas_move.move_eligible(state, n)
+            )
+
+            def draw_ref_anc():
                 ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
                 if ancestor_sampling:
                     # PGAS: w_i^anc = logW_i + log f_t(ref_t | state_i)
@@ -216,6 +233,31 @@ def sweep(
                     ref_anc = randcat(
                         anc_key, jax.nn.softmax(anc_logw)
                     ).astype(jnp.int32)
+                return ref_anc
+
+            if use_fused:
+                u = jax.random.uniform(rs_key, dtype=weights.dtype)
+                anc_drawn, moved = _pallas_move.resample_move(
+                    u, weights, state, n_resample
+                )
+                if has_ref:
+                    ref_anc = draw_ref_anc()
+                    anc = jnp.concatenate([anc_drawn, ref_anc[None]])
+                    ref_row = jax.tree_util.tree_map(
+                        lambda a: a[ref_anc][None], state
+                    )
+                    state_rs = jax.tree_util.tree_map(
+                        lambda mv, r: jnp.concatenate([mv, r], axis=0),
+                        moved,
+                        ref_row,
+                    )
+                else:
+                    anc, state_rs = anc_drawn, moved
+                return anc, state_rs, jnp.zeros_like(logw)
+
+            anc_drawn = resampler.resampler(rs_key, weights, n_resample)
+            if has_ref:
+                ref_anc = draw_ref_anc()
                 anc = jnp.concatenate([anc_drawn, ref_anc[None]])
             else:
                 anc = anc_drawn

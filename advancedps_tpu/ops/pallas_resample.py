@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_ancestors", "systematic_pallas"]
+__all__ = [
+    "decode_ancestors",
+    "systematic_pallas",
+    "resample_move",
+    "move_eligible",
+]
 
 # Block sizes: W output slots per grid step, C extents per inner chunk.
 # 1-D int32 arrays tile at 1024 on TPU (8x128); keep both block sizes aligned.
@@ -110,3 +115,212 @@ def systematic_pallas(u, weights, n: int, interpret: bool = False) -> jax.Array:
     f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
     anc = decode_ancestors(f, n, interpret=interpret)
     return jnp.clip(anc, 0, weights.shape[0] - 1)
+
+
+# ---------------------------------------------------------------------------
+# Fused resample + state move
+# ---------------------------------------------------------------------------
+#
+# Profiling on v5e showed the ancestor *gather* — ``state[anc]`` after decoding —
+# costs ~7-9 ms per 1M-particle step in XLA (per-index overhead ≈ 7 ns, scalar
+# rate), and the scatter formulation costs about the same.  The decode kernel
+# above removes the scatter; this kernel removes the gather too by moving the
+# state *inside* the same staircase merge.
+#
+# For output slot ``k`` the owner is the unique ``j`` with
+# ``f_{j-1} ≤ k < f_j`` (runs of a run-length decode).  Per (output block ×
+# input chunk) visit the kernel builds the owner mask and contracts it on the
+# MXU against ``[j, x_j…]`` — one f32 dot with exactly one nonzero per output
+# column, so both the ancestor index and the moved values are **exact** (no
+# delta accumulation).  VPU work is O(N·(C+W)) compares total (staircase), the
+# dot rides the MXU, and there is no scatter, sort, or dynamic gather anywhere.
+
+_MC = 1024  # input extents per inner chunk (1-D i32 VMEM loads must be 1024-aligned)
+_MS = 256  # sub-slice processed per mask build (bounds temp VMEM to [_MS, _MW])
+_MW = 1024  # output slots per grid step (f32/i32 1-D tile granularity)
+
+
+def _make_move_kernel(n_cols: int):
+    """Kernel over ``f, fm1, v_0 … v_{n_cols-1}`` → ``anc, out_0 … out_{n_cols-1}``.
+
+    All value columns are separate 1-D f32 arrays (a single ``[M, D]`` array with
+    small ``D`` would pad the minor dim to 128 lanes in VMEM — a 64× blowup).
+    The ancestor output is the owner mask contracted against ``off + iota`` (built
+    in-kernel, exact in f32 for M < 2²⁴).
+    """
+
+    def kernel(*refs):
+        f_ref, fm1_ref = refs[0], refs[1]
+        v_refs = refs[2 : 2 + n_cols]
+        anc_ref = refs[2 + n_cols]
+        out_refs = refs[3 + n_cols : 3 + 2 * n_cols]
+        carry_ref = refs[-1]
+
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[0] = 0  # chunk pointer (units of _MC)
+
+        base = b * _MW
+        ptr0 = carry_ref[0]
+        num_chunks = f_ref.shape[0] // _MC
+
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (_MS, _MW), 1)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (_MS,), 0)
+
+        def cond(c):
+            return jnp.logical_not(c[-1])
+
+        def body(c):
+            ptr, accs, _ = c
+            off = pl.multiple_of(ptr * _MC, _MC)
+            chunk = f_ref[pl.ds(off, _MC)]
+            prev = fm1_ref[pl.ds(off, _MC)]
+            vals = [v_ref[pl.ds(off, _MC)] for v_ref in v_refs]
+
+            # Process the chunk in static _MS-sub-slices: bounds the [_MS, _MW]
+            # mask temporaries while keeping the (1024-aligned) loads legal.
+            # Each sub-slice is gated: it can own an output of this block only if
+            # its extents reach past ``base`` and start at or before the block end.
+            def sub_update(s, accs):
+                sub = jax.lax.slice(chunk, (s * _MS,), ((s + 1) * _MS,))
+                subprev = jax.lax.slice(prev, (s * _MS,), ((s + 1) * _MS,))
+
+                def live(accs):
+                    # Broadcast as int32 (Mosaic: no 1-bit minor-dim inserts).
+                    hi = sub[:, None] + jnp.zeros((_MS, _MW), jnp.int32)
+                    lo = subprev[:, None] + jnp.zeros((_MS, _MW), jnp.int32)
+                    pos = base + iota_w
+                    ownb = (lo <= pos) & (pos < hi)
+                    # VPU multiply+reduce (the MXU dot rounds through bf16 at
+                    # default precision — wrong for indices > 2^8 — and costs
+                    # 2-3x the VPU path at HIGHEST).
+                    gidx = iota_s + (ptr * _MC + s * _MS)
+                    anc_acc = accs[0] + jnp.sum(
+                        jnp.where(ownb, 1, 0) * gidx[:, None], axis=0
+                    )
+                    own = jnp.where(ownb, 1.0, 0.0)
+                    outs = tuple(
+                        acc
+                        + jnp.sum(
+                            own
+                            * jax.lax.slice(v, (s * _MS,), ((s + 1) * _MS,))[
+                                :, None
+                            ],
+                            axis=0,
+                        )
+                        for acc, v in zip(accs[1:], vals)
+                    )
+                    return (anc_acc,) + outs
+
+                do = (sub[_MS - 1] > base) & (subprev[0] <= base + _MW - 1)
+                return jax.lax.cond(do, live, lambda a: a, accs)
+
+            for s in range(_MC // _MS):
+                accs = sub_update(s, accs)
+
+            last = chunk[_MC - 1]
+            stop = (last > base + _MW - 1) | (ptr + 1 >= num_chunks)
+            ptr = jnp.where(stop, ptr, ptr + 1)
+            return ptr, accs, stop
+
+        accs0 = (jnp.zeros((_MW,), jnp.int32),) + tuple(
+            jnp.zeros((_MW,), jnp.float32) for _ in range(n_cols)
+        )
+        ptr, accs, _ = jax.lax.while_loop(cond, body, (ptr0, accs0, jnp.asarray(False)))
+
+        anc_ref[:] = accs[0]
+        for out_ref, acc in zip(out_refs, accs[1:]):
+            out_ref[:] = acc
+        carry_ref[0] = ptr
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _resample_move_cols(f, cols, n, interpret=False):
+    """Fused run-length decode + value move.
+
+    ``f``: nondecreasing int32 extents ``[M]`` (``f_j`` = #outputs below
+    ``cdf_j``, with ``f_{M-1}`` forced to ``n``); ``cols``: tuple of ``[M]``
+    float32 value columns.  Returns ``(anc int32 [n], ys)`` — ``ys`` a tuple of
+    ``[n]`` float32 with ``ys_c = cols_c[anc]`` exactly (the owner mask has one
+    nonzero per output, so the f32 dot is a copy, not a sum).
+    """
+    m = f.shape[0]
+    pad_in = (-m) % _MC
+    n_pad = -(-n // _MW) * _MW
+    sentinel = jnp.int32(2 * max(n_pad, m))
+    f = f.at[m - 1].set(n)  # guard float cumsum undershoot: last extent covers n
+    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
+    fm1_p = jnp.concatenate([jnp.zeros((1,), jnp.int32), f_p[:-1]])
+    vs = [c.astype(jnp.float32) for c in cols]
+    if pad_in:
+        zpad = jnp.zeros((pad_in,), jnp.float32)
+        vs = [jnp.concatenate([v, zpad]) for v in vs]
+
+    n_cols = len(vs)
+    outs = pl.pallas_call(
+        _make_move_kernel(n_cols),
+        grid=(n_pad // _MW,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_cols),
+        out_specs=[
+            pl.BlockSpec((_MW,), lambda b: (b,), memory_space=pltpu.VMEM)
+        ]
+        * (1 + n_cols),
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
+        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(f_p, fm1_p, *vs)
+    anc = outs[0][:n]
+    return anc, tuple(o[:n] for o in outs[1:])
+
+
+# VMEM budget: f, fm1 and the D state columns (plus the [C, W] mask temporaries)
+# must fit on-chip; cap total input elements under the ~16 MB VMEM of a v5e core.
+_MOVE_MAX_ELEMS = 3_000_000  # f32 elements across f, fm1 + state columns
+_MOVE_MAX_COLS = 8
+
+
+def move_eligible(state, m: int) -> bool:
+    """True if the fused Pallas resample+move kernel can handle this state
+    (all-f32 leaves with leading axis ``m``, small total width, VMEM-resident)."""
+    if jax.default_backend() != "tpu":
+        return False
+    leaves = jax.tree_util.tree_leaves(state)
+    if not leaves:
+        return False
+    d = 0
+    for leaf in leaves:
+        if leaf.dtype != jnp.float32 or leaf.ndim == 0 or leaf.shape[0] != m:
+            return False
+        d += int(leaf.size) // m
+    return d <= _MOVE_MAX_COLS and m * (2 + d) <= _MOVE_MAX_ELEMS
+
+
+def resample_move(u, weights, state, n: int, interpret: bool = False):
+    """Systematic resampling with the state moved in-kernel.
+
+    Returns ``(anc int32 [n], new_state)`` where ``new_state`` equals
+    ``tree_map(lambda a: a[anc], state)`` exactly.  Caller must check
+    :func:`move_eligible` first.
+    """
+    m = weights.shape[0]
+    cdf = jnp.cumsum(weights)
+    f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    cols = []
+    for leaf in leaves:
+        flat = leaf.reshape(m, -1)
+        cols.extend(flat[:, c] for c in range(flat.shape[1]))
+    anc, ys = _resample_move_cols(f, tuple(cols), n, interpret=interpret)
+    anc = jnp.clip(anc, 0, m - 1)
+    out, off = [], 0
+    for leaf in leaves:
+        w = int(leaf.size) // m
+        stacked = jnp.stack(ys[off : off + w], axis=1) if w > 1 else ys[off][:, None]
+        out.append(stacked.reshape((n,) + leaf.shape[1:]))
+        off += w
+    return anc, jax.tree_util.tree_unflatten(treedef, out)

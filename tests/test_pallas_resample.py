@@ -72,3 +72,49 @@ def test_long_flat_run_spanning_blocks():
     got = systematic_pallas(jnp.float32(0.25), w, n, interpret=True)
     ref = _ref(jnp.float32(0.25), w, n)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+# --- fused resample+move kernel ----------------------------------------------
+
+from advancedps_tpu.ops.pallas_resample import resample_move
+
+
+def _move_ref(u, w, n, m):
+    f = jnp.clip(jnp.ceil(n * jnp.cumsum(w) - u), 0, n).astype(jnp.int32)
+    f = f.at[m - 1].set(n)
+    anc = np.searchsorted(np.asarray(f), np.arange(n), side="right")
+    return np.clip(anc, 0, m - 1)
+
+
+@pytest.mark.parametrize("m,n", [(1000, 1000), (1000, 999), (3000, 3000), (5, 5), (2048, 4096)])
+def test_resample_move_matches_gather(m, n):
+    key = jax.random.key(m * 7 + n)
+    k1, k2, k3 = jax.random.split(key, 3)
+    w = jax.nn.softmax(jax.random.normal(k1, (m,)) * 3)
+    state = {"a": jax.random.normal(k2, (m,)), "b": jax.random.normal(k3, (m, 3))}
+    u = float(jax.random.uniform(jax.random.fold_in(key, 9)))
+    anc, moved = resample_move(u, w, state, n, interpret=True)
+    anc_ref = _move_ref(u, w, n, m)
+    np.testing.assert_array_equal(np.asarray(anc), anc_ref)
+    np.testing.assert_array_equal(np.asarray(moved["a"]), np.asarray(state["a"])[anc_ref])
+    np.testing.assert_array_equal(np.asarray(moved["b"]), np.asarray(state["b"])[anc_ref])
+
+
+def test_resample_move_single_survivor():
+    m = n = 2048
+    w = jnp.zeros(m).at[777].set(1.0)
+    x = jnp.arange(m, dtype=jnp.float32)
+    anc, moved = resample_move(0.5, w, x, n, interpret=True)
+    assert bool((anc == 777).all())
+    assert bool((moved == 777.0).all())
+
+
+def test_resample_move_values_exact_copies():
+    # The moved values must be *bitwise* copies of the source rows (the owner
+    # mask has one nonzero per output, so the dot is a copy, not a blend).
+    m = n = 3000
+    key = jax.random.key(11)
+    w = jax.nn.softmax(jax.random.normal(key, (m,)) * 5)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (m,)) * 1e-7  # tiny values
+    anc, moved = resample_move(0.123, w, x, n, interpret=True)
+    np.testing.assert_array_equal(np.asarray(moved), np.asarray(x)[np.asarray(anc)])
