@@ -50,7 +50,6 @@ from jax import lax
 from . import rng as rngmod
 from .resampling import (
     ResampleWithESSThreshold,
-    effective_sample_size,
     randcat,
     resample_systematic,
 )
@@ -187,21 +186,38 @@ def sweep(
     # state), so it is a statistical no-op; we skip it (call stack SURVEY.md §3.1).
     rng0 = rngmod.StepRng(key=rngmod.step_key(key, rngmod.INIT, 0), gids=gids)
     state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
-    log_z = jax.scipy.special.logsumexp(logw) - jnp.log(jnp.asarray(float(n)))
 
     snap0 = kernel.snapshot(state)
     do_store = store_states and snap0 is not None
 
     iota = jnp.arange(n, dtype=jnp.int32)
+    ln_n = jnp.log(jnp.asarray(float(n)))
     n_resample = n - 1 if has_ref else n  # reference draws n-1 ancestors with a ref
     # (``/root/reference/src/container.jl:181-182``)
 
+    # Log-evidence bookkeeping (Del Moral estimator,
+    # ``/root/reference/src/container.jl:332-359``): each step contributes
+    # ``logsumexp(logw_after) − logsumexp(logw_before)``.  ``logw_before`` is
+    # either the previous step's ``logw_after`` (no resample) or the zero vector
+    # (resample ⇒ logsumexp = log n) — so instead of two logsumexps per step we
+    # carry ``pending`` = the base to subtract when the *next* logsumexp is
+    # available, and compute one (max, Σe, Σe²) reduction family per step that
+    # also feeds the softmax and the ESS gate.  At 1M particles this removes
+    # ~3 full passes over the weights per step.
+
     def body(carry, t):
-        state, logw, log_z = carry
+        state, logw, log_z, pending = carry
+
+        # ---- one fused reduction family over the weights.
+        m = jnp.max(logw)
+        e = jnp.exp(logw - m)
+        s1 = jnp.sum(e)
+        s2 = jnp.sum(e * e)
+        lse = m + jnp.log(s1)
+        log_z = log_z + (lse - pending)
 
         # ---- ESS gate (reference ``/root/reference/src/container.jl:233-251``).
-        weights = jax.nn.softmax(logw)
-        ess = effective_sample_size(weights)
+        ess = (s1 * s1) / s2
         do_rs = ess <= resampler.threshold * n
 
         # ---- resample under lax.cond: the ancestor computation and the state
@@ -209,6 +225,7 @@ def sweep(
         # form of the reference's if/else, SURVEY.md §7 hard part (c)).
         def resample_branch(operand):
             state, logw = operand
+            weights = e / s1  # normalised only on resampling steps
             rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
 
             # Fast path: the fused Pallas kernel decodes the systematic ancestors
@@ -271,7 +288,7 @@ def sweep(
             anc, state_rs, logw_pre = lax.cond(
                 do_rs, resample_branch, skip_branch, (state, logw)
             )
-        log_z0 = jax.scipy.special.logsumexp(logw_pre)
+        pending_new = jnp.where(do_rs, ln_n, lse)
 
         # ---- propagate + score: the fused hot kernel
         # (reference hot loop /root/reference/src/container.jl:259-302 +
@@ -285,22 +302,20 @@ def sweep(
             )
         logw_new = logw_pre + score
 
-        # ---- log-evidence increment (Del Moral estimator,
-        # /root/reference/src/container.jl:332-359).
-        log_z1 = jax.scipy.special.logsumexp(logw_new)
-        log_z = log_z + (log_z1 - log_z0)
-
         out = (
             kernel.snapshot(state_new) if do_store else None,
             anc,
             ess,
             do_rs,
         )
-        return (state_new, logw_new, log_z), out
+        return (state_new, logw_new, log_z, pending_new), out
 
-    (state, logw, log_z), (snaps, ancs, esss, rss) = lax.scan(
-        body, (state, logw, log_z), jnp.arange(1, T)
+    (state, logw, log_z, pending), (snaps, ancs, esss, rss) = lax.scan(
+        body, (state, logw, ln_n * 0.0, ln_n), jnp.arange(1, T)
     )
+    # Close the pending base with the final weights' logsumexp.  (The t=0
+    # normaliser ``− log n`` is the first iteration's ``pending`` init.)
+    log_z = log_z + (jax.scipy.special.logsumexp(logw) - pending)
 
     # Prepend t=0 entries.
     if do_store:
