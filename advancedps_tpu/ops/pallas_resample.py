@@ -122,38 +122,48 @@ def systematic_pallas(u, weights, n: int, interpret: bool = False) -> jax.Array:
 # ---------------------------------------------------------------------------
 #
 # Profiling on v5e showed the ancestor *gather* — ``state[anc]`` after decoding —
-# costs ~7-9 ms per 1M-particle step in XLA (per-index overhead ≈ 7 ns, scalar
+# costs ~8 ms per 1M-particle step in XLA (per-index overhead ≈ 8 ns, scalar
 # rate), and the scatter formulation costs about the same.  The decode kernel
 # above removes the scatter; this kernel removes the gather too by moving the
 # state *inside* the same staircase merge.
 #
-# For output slot ``k`` the owner is the unique ``j`` with
-# ``f_{j-1} ≤ k < f_j`` (runs of a run-length decode).  Per (output block ×
-# input chunk) visit the kernel builds the owner mask and contracts it on the
-# MXU against ``[j, x_j…]`` — one f32 dot with exactly one nonzero per output
-# column, so both the ancestor index and the moved values are **exact** (no
-# delta accumulation).  VPU work is O(N·(C+W)) compares total (staircase), the
-# dot rides the MXU, and there is no scatter, sort, or dynamic gather anywhere.
+# For output slot ``k`` the owner is the unique ``j`` with ``f_{j-1} ≤ k < f_j``
+# (runs of a run-length decode).  Writing ``c_{j,k} = (f_j ≤ k)`` the owner mask
+# telescopes: ``own_{j,k} = c_{j-1,k} − c_{j,k} ∈ {0,1}`` — so one compare per
+# (row, slot) plus a one-row shift of the *1-D extents vector* (not the mask)
+# builds the mask, and
+#
+#   anc[k]  = Σ_j c_{j,k}           (count of extents ≤ k — exact int sum)
+#   out[k]  = Σ_j own_{j,k} · v_j   (exactly one nonzero term ⇒ exact f32 copy)
+#
+# Per (output block × input sub-slice) the VPU does 2 compares + 1 subtract +
+# 2 multiply-adds per element — measured ~25% faster than the previous
+# lo/hi-mask formulation, with the ``f_{j-1}`` input array eliminated (the
+# shifted compare is rebuilt from the same ``f`` slice and a carried scalar).
+# Block sizes tuned on v5e: [512 rows × 1024 slots] masks; smaller tiles lose
+# to gating overhead, larger ones to vreg spills.  No scatter, sort, or
+# dynamic gather anywhere.
 
 _MC = 1024  # input extents per inner chunk (1-D i32 VMEM loads must be 1024-aligned)
-_MS = 256  # sub-slice processed per mask build (bounds temp VMEM to [_MS, _MW])
+_MS = 512  # rows per mask sub-slice (bounds temp VMEM to [_MS, _MW])
 _MW = 1024  # output slots per grid step (f32/i32 1-D tile granularity)
 
 
 def _make_move_kernel(n_cols: int):
-    """Kernel over ``f, fm1, v_0 … v_{n_cols-1}`` → ``anc, out_0 … out_{n_cols-1}``.
+    """Kernel over ``f, v_0 … v_{n_cols-1}`` → ``anc, out_0 … out_{n_cols-1}``.
 
     All value columns are separate 1-D f32 arrays (a single ``[M, D]`` array with
     small ``D`` would pad the minor dim to 128 lanes in VMEM — a 64× blowup).
-    The ancestor output is the owner mask contracted against ``off + iota`` (built
-    in-kernel, exact in f32 for M < 2²⁴).
+    Walk state carried in SMEM: the chunk pointer, the count of rows in chunks
+    fully consumed by earlier blocks (``jbase``), and — inside one block's walk —
+    the previous row's extent (``prev_f``, seeding the telescoped compare).
     """
 
     def kernel(*refs):
-        f_ref, fm1_ref = refs[0], refs[1]
-        v_refs = refs[2 : 2 + n_cols]
-        anc_ref = refs[2 + n_cols]
-        out_refs = refs[3 + n_cols : 3 + 2 * n_cols]
+        f_ref = refs[0]
+        v_refs = refs[1 : 1 + n_cols]
+        anc_ref = refs[1 + n_cols]
+        out_refs = refs[2 + n_cols : 2 + 2 * n_cols]
         carry_ref = refs[-1]
 
         b = pl.program_id(0)
@@ -161,79 +171,97 @@ def _make_move_kernel(n_cols: int):
         @pl.when(b == 0)
         def _():
             carry_ref[0] = 0  # chunk pointer (units of _MC)
+            carry_ref[1] = 0  # jbase: rows in chunks fully below this block
 
         base = b * _MW
         ptr0 = carry_ref[0]
+        jbase = carry_ref[1]
         num_chunks = f_ref.shape[0] // _MC
+        block_end = base + _MW - 1
 
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (_MS, _MW), 1)
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (_MS,), 0)
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, (_MS, _MW), 1)
+        pos_row = base + jax.lax.broadcasted_iota(jnp.int32, (_MW,), 0)
 
         def cond(c):
             return jnp.logical_not(c[-1])
 
         def body(c):
-            ptr, accs, _ = c
+            ptr, prev_f, accs, _ = c
             off = pl.multiple_of(ptr * _MC, _MC)
             chunk = f_ref[pl.ds(off, _MC)]
-            prev = fm1_ref[pl.ds(off, _MC)]
             vals = [v_ref[pl.ds(off, _MC)] for v_ref in v_refs]
 
-            # Process the chunk in static _MS-sub-slices: bounds the [_MS, _MW]
-            # mask temporaries while keeping the (1024-aligned) loads legal.
-            # Each sub-slice is gated: it can own an output of this block only if
-            # its extents reach past ``base`` and start at or before the block end.
-            def sub_update(s, accs):
+            def sub_update(s, carry):
+                prev_f, accs = carry
                 sub = jax.lax.slice(chunk, (s * _MS,), ((s + 1) * _MS,))
-                subprev = jax.lax.slice(prev, (s * _MS,), ((s + 1) * _MS,))
+                sub_last = sub[_MS - 1]
 
-                def live(accs):
-                    # Broadcast as int32 (Mosaic: no 1-bit minor-dim inserts).
-                    hi = sub[:, None] + jnp.zeros((_MS, _MW), jnp.int32)
-                    lo = subprev[:, None] + jnp.zeros((_MS, _MW), jnp.int32)
-                    pos = base + iota_w
-                    ownb = (lo <= pos) & (pos < hi)
-                    # VPU multiply+reduce (the MXU dot rounds through bf16 at
-                    # default precision — wrong for indices > 2^8 — and costs
-                    # 2-3x the VPU path at HIGHEST).
-                    gidx = iota_s + (ptr * _MC + s * _MS)
-                    anc_acc = accs[0] + jnp.sum(
-                        jnp.where(ownb, 1, 0) * gidx[:, None], axis=0
-                    )
-                    own = jnp.where(ownb, 1.0, 0.0)
-                    outs = tuple(
-                        acc
-                        + jnp.sum(
-                            own
-                            * jax.lax.slice(v, (s * _MS,), ((s + 1) * _MS,))[
-                                :, None
+                def consumed(accs):
+                    # Every row has f ≤ base ≤ every slot: counts only.
+                    return (accs[0] + _MS,) + accs[1:]
+
+                def not_consumed(accs):
+                    def live(accs):
+                        # c_{j,k} = (f_j ≤ k): ONE compare family per element.
+                        subb = sub[:, None] + jnp.zeros((_MS, _MW), jnp.int32)
+                        cle = (subb <= pos).astype(jnp.float32)
+                        # Row −1 of the telescope: the carried previous extent.
+                        prev_row = (prev_f <= pos_row).astype(jnp.float32)
+                        prev_rows = jnp.concatenate(
+                            [
+                                prev_row[None],
+                                jax.lax.slice(cle, (0, 0), (_MS - 1, _MW)),
                             ],
                             axis=0,
                         )
-                        for acc, v in zip(accs[1:], vals)
-                    )
-                    return (anc_acc,) + outs
+                        own = prev_rows - cle  # {0,1}, exactly one 1 per column
+                        anc = accs[0] + jnp.sum(cle, axis=0).astype(jnp.int32)
+                        outs = tuple(
+                            acc
+                            + jnp.sum(
+                                own
+                                * jax.lax.slice(
+                                    v, (s * _MS,), ((s + 1) * _MS,)
+                                )[:, None],
+                                axis=0,
+                            )
+                            for acc, v in zip(accs[1:], vals)
+                        )
+                        return (anc,) + outs
 
-                do = (sub[_MS - 1] > base) & (subprev[0] <= base + _MW - 1)
-                return jax.lax.cond(do, live, lambda a: a, accs)
+                    # Fully beyond the block (prev row already past its end):
+                    # no owners, no counts.
+                    do = prev_f <= block_end
+                    return jax.lax.cond(do, live, lambda a: a, accs)
+
+                accs = jax.lax.cond(sub_last <= base, consumed, not_consumed, accs)
+                return sub_last, accs
 
             for s in range(_MC // _MS):
-                accs = sub_update(s, accs)
+                prev_f, accs = sub_update(s, (prev_f, accs))
 
             last = chunk[_MC - 1]
-            stop = (last > base + _MW - 1) | (ptr + 1 >= num_chunks)
+            stop = (last > block_end) | (ptr + 1 >= num_chunks)
             ptr = jnp.where(stop, ptr, ptr + 1)
-            return ptr, accs, stop
+            return ptr, prev_f, accs, stop
 
-        accs0 = (jnp.zeros((_MW,), jnp.int32),) + tuple(
+        # prev_f starts at 0: rows before the walk window were consumed by
+        # earlier blocks (their extents ≤ previous block end < base), and the
+        # telescope only needs ``prev_f ≤ k`` to hold for them, which 0 gives.
+        accs0 = (jnp.full((_MW,), jbase, jnp.int32),) + tuple(
             jnp.zeros((_MW,), jnp.float32) for _ in range(n_cols)
         )
-        ptr, accs, _ = jax.lax.while_loop(cond, body, (ptr0, accs0, jnp.asarray(False)))
+        ptr, prev_f, accs, _ = jax.lax.while_loop(
+            cond, body, (ptr0, jnp.int32(0), accs0, jnp.asarray(False))
+        )
 
         anc_ref[:] = accs[0]
         for out_ref, acc in zip(out_refs, accs[1:]):
             out_ref[:] = acc
+        # The next block re-walks from ``ptr``; every row in chunks before it
+        # has extent ≤ this block's end < the next block's first slot.
         carry_ref[0] = ptr
+        carry_ref[1] = ptr * _MC
 
     return kernel
 
@@ -246,7 +274,7 @@ def _resample_move_cols(f, cols, n, interpret=False):
     ``cdf_j``, with ``f_{M-1}`` forced to ``n``); ``cols``: tuple of ``[M]``
     float32 value columns.  Returns ``(anc int32 [n], ys)`` — ``ys`` a tuple of
     ``[n]`` float32 with ``ys_c = cols_c[anc]`` exactly (the owner mask has one
-    nonzero per output, so the f32 dot is a copy, not a sum).
+    nonzero per output, so the f32 multiply-sum is a copy, not a sum).
     """
     m = f.shape[0]
     pad_in = (-m) % _MC
@@ -254,7 +282,6 @@ def _resample_move_cols(f, cols, n, interpret=False):
     sentinel = jnp.int32(2 * max(n_pad, m))
     f = f.at[m - 1].set(n)  # guard float cumsum undershoot: last extent covers n
     f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
-    fm1_p = jnp.concatenate([jnp.zeros((1,), jnp.int32), f_p[:-1]])
     vs = [c.astype(jnp.float32) for c in cols]
     if pad_in:
         zpad = jnp.zeros((pad_in,), jnp.float32)
@@ -264,23 +291,23 @@ def _resample_move_cols(f, cols, n, interpret=False):
     outs = pl.pallas_call(
         _make_move_kernel(n_cols),
         grid=(n_pad // _MW,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_cols),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
         out_specs=[
             pl.BlockSpec((_MW,), lambda b: (b,), memory_space=pltpu.VMEM)
         ]
         * (1 + n_cols),
         out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
         + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
-    )(f_p, fm1_p, *vs)
+    )(f_p, *vs)
     anc = outs[0][:n]
     return anc, tuple(o[:n] for o in outs[1:])
 
 
-# VMEM budget: f, fm1 and the D state columns (plus the [C, W] mask temporaries)
+# VMEM budget: f and the D state columns (plus the [_MS, _MW] mask temporaries)
 # must fit on-chip; cap total input elements under the ~16 MB VMEM of a v5e core.
-_MOVE_MAX_ELEMS = 3_000_000  # f32 elements across f, fm1 + state columns
+_MOVE_MAX_ELEMS = 3_000_000  # f32 elements across f + state columns
 _MOVE_MAX_COLS = 8
 
 
@@ -297,7 +324,7 @@ def move_eligible(state, m: int) -> bool:
         if leaf.dtype != jnp.float32 or leaf.ndim == 0 or leaf.shape[0] != m:
             return False
         d += int(leaf.size) // m
-    return d <= _MOVE_MAX_COLS and m * (2 + d) <= _MOVE_MAX_ELEMS
+    return d <= _MOVE_MAX_COLS and m * (1 + d) <= _MOVE_MAX_ELEMS
 
 
 def resample_move(u, weights, state, n: int, interpret: bool = False):
