@@ -7,11 +7,13 @@ resampling via collective ancestor-index exchange over ICI.
 
 Design (SURVEY.md §5.8):
 
-* The **big data** (particle states) stays sharded ``[N/K, ...]`` per chip; the
-  **small data** (log-weights ``[N]`` floats) is all-gathered every step, so the ESS
-  gate, the log-evidence update and the ancestor-index computation run *replicated* on
-  every chip — bitwise identical to the single-chip engine, because they reuse the
-  very same resampler functions with the very same keys.
+* The **big data** (particle states) stays sharded ``[N/K, ...]`` per chip.  The
+  ESS gate, the log-evidence increment and the softmax normaliser all derive from
+  one distributed (max, Σe, Σe²) reduction family — a ``pmax`` plus two scalar
+  ``psum``s per step (SURVEY.md §5.8(a-b)).  The full ``[N]`` weight vector is
+  all-gathered **only on steps where the gate fires**, inside the resample branch,
+  where the replicated ancestor computation reuses the very same resampler
+  functions with the very same keys as the single-chip engine.
 * Per-particle RNG keys are derived from **global** particle ids
   (``fold_in(step_key, global_id)``), so propagation is bitwise independent of the
   sharding layout.
@@ -47,7 +49,6 @@ from .. import rng as rngmod
 from ..engine import SweepResult, _ref_slice
 from ..resampling import (
     ResampleWithESSThreshold,
-    effective_sample_size,
     randcat,
 )
 from .mesh import PARTICLE_AXIS
@@ -89,7 +90,6 @@ def sharded_sweep(
     def body(key, kernel, ref):
         k_idx = lax.axis_index(axis)
         gids = k_idx * L + jnp.arange(L)
-        iota_n = jnp.arange(n, dtype=jnp.int32)
 
         ref_mask = (gids == (n - 1)) if has_ref else None
 
@@ -107,51 +107,63 @@ def sharded_sweep(
         # ---- t = 0
         rng0 = _step_rng(key, rngmod.INIT, 0, gids)
         state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
-        logw_all = lax.all_gather(logw, axis, tiled=True)
-        log_z = jax.scipy.special.logsumexp(logw_all) - jnp.log(
-            jnp.asarray(float(n))
-        )
+        ln_n = jnp.log(jnp.asarray(float(n)))
+
+        # Log-evidence bookkeeping mirrors the single-chip engine's carried
+        # ``pending`` base (engine.py): one distributed (max, Σe, Σe²)
+        # reduction family per step — three scalar collectives — feeds the
+        # ESS gate, the normalised weights and the Del Moral increment.  The
+        # full [N] weight vector crosses ICI only on steps where the gate
+        # fires (inside ``resample_branch``), not every step.
 
         def step(carry, t):
-            state, logw, log_z = carry
+            state, logw, log_z, pending = carry
 
-            logw_all = lax.all_gather(logw, axis, tiled=True)
-            weights_all = jax.nn.softmax(logw_all)
-            ess = effective_sample_size(weights_all)
-            do_rs = ess <= resampler.threshold * n
+            m = lax.pmax(jnp.max(logw), axis)  # exact: max is order-free
+            e = jnp.exp(logw - m)
+            s1 = lax.psum(jnp.sum(e), axis)
+            s2 = lax.psum(jnp.sum(e * e), axis)
+            lse = m + jnp.log(s1)
+            log_z = log_z + (lse - pending)
+            ess = (s1 * s1) / s2
+            do_rs = ess <= resampler.threshold * n  # replicated predicate
 
-            # Replicated ancestor computation — same function, same key as the
-            # single-chip engine ⇒ bitwise identical indices.
-            rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
-            anc_drawn = resampler.resampler(rs_key, weights_all, n_resample)
-            if has_ref:
-                ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
-                if ancestor_sampling:
-                    ref_t = _ref_slice(ref, t)
-                    local_tlp = kernel.transition_logprob(t, state, ref_t)
-                    tlp_all = lax.all_gather(local_tlp, axis, tiled=True)
-                    anc_logw = logw_all + tlp_all
-                    anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
-                    ref_anc = randcat(anc_key, jax.nn.softmax(anc_logw)).astype(
-                        jnp.int32
-                    )
-                anc_resampled = jnp.concatenate([anc_drawn, ref_anc[None]])
-            else:
-                anc_resampled = anc_drawn
-            anc = jnp.where(do_rs, anc_resampled, iota_n)  # [N] replicated
-            local_anc = anc[gids]  # [L]
+            def resample_branch(operand):
+                state, logw = operand
+                # The one O(N) weight collective, gated on the ESS test.
+                weights_all = lax.all_gather(e, axis, tiled=True) / s1
+                rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
+                # Replicated ancestor computation — same resampler, same key
+                # as the single-chip engine ⇒ ancestors agree up to f32
+                # reduction-order flips at CDF boundaries (module docstring).
+                anc_drawn = resampler.resampler(rs_key, weights_all, n_resample)
+                if has_ref:
+                    ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
+                    if ancestor_sampling:
+                        # PGAS ancestor draw: distributed logsumexp over
+                        # logW_i + log f_t(ref_t | state_i) (SURVEY.md §5.8(d)).
+                        ref_t = _ref_slice(ref, t)
+                        alw = logw + kernel.transition_logprob(t, state, ref_t)
+                        am = lax.pmax(jnp.max(alw), axis)
+                        ae = jnp.exp(alw - am)
+                        as1 = lax.psum(jnp.sum(ae), axis)
+                        aw_all = lax.all_gather(ae, axis, tiled=True) / as1
+                        anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
+                        ref_anc = randcat(anc_key, aw_all).astype(jnp.int32)
+                    anc = jnp.concatenate([anc_drawn, ref_anc[None]])
+                else:
+                    anc = anc_drawn
+                local_anc = anc[gids]  # [L]
+                return local_anc, exchange(state, local_anc), jnp.zeros_like(logw)
 
-            # State exchange only when resampling actually fires.
-            state_rs = lax.cond(
-                do_rs,
-                lambda s: exchange(s, local_anc),
-                lambda s: s,
-                state,
+            def skip_branch(operand):
+                state, logw = operand
+                return gids.astype(jnp.int32), state, logw
+
+            local_anc, state_rs, logw_pre = lax.cond(
+                do_rs, resample_branch, skip_branch, (state, logw)
             )
-            logw_pre = jnp.where(do_rs, jnp.zeros_like(logw), logw)
-            log_z0 = jax.scipy.special.logsumexp(
-                jnp.where(do_rs, jnp.zeros_like(logw_all), logw_all)
-            )
+            pending_new = jnp.where(do_rs, ln_n, lse)
 
             rng_t = _step_rng(key, rngmod.PROPAGATE, t, gids)
             state_new, score = kernel.step(
@@ -159,21 +171,21 @@ def sharded_sweep(
             )
             logw_new = logw_pre + score
 
-            logw_new_all = lax.all_gather(logw_new, axis, tiled=True)
-            log_z1 = jax.scipy.special.logsumexp(logw_new_all)
-            log_z = log_z + (log_z1 - log_z0)
-
             out = (
                 kernel.snapshot(state_new) if store_states else None,
                 local_anc,
                 ess,
                 do_rs,
             )
-            return (state_new, logw_new, log_z), out
+            return (state_new, logw_new, log_z, pending_new), out
 
-        (state, logw, log_z), (snaps, ancs, esss, rss) = lax.scan(
-            step, (state, logw, log_z), jnp.arange(1, T)
+        (state, logw, log_z, pending), (snaps, ancs, esss, rss) = lax.scan(
+            step, (state, logw, ln_n * 0.0, ln_n), jnp.arange(1, T)
         )
+        # Close the pending base with the final weights' distributed logsumexp.
+        mf = lax.pmax(jnp.max(logw), axis)
+        sf = lax.psum(jnp.sum(jnp.exp(logw - mf)), axis)
+        log_z = log_z + (mf + jnp.log(sf) - pending)
         return state, logw, log_z, snaps, ancs, esss, rss
 
     p = P(axis)
