@@ -37,6 +37,7 @@ __all__ = [
     "decode_ancestors",
     "systematic_pallas",
     "resample_move",
+    "resample_move_window",
     "move_eligible",
 ]
 
@@ -150,30 +151,35 @@ _MW = 1024  # output slots per grid step (f32/i32 1-D tile granularity)
 
 
 def _make_move_kernel(n_cols: int):
-    """Kernel over ``f, v_0 … v_{n_cols-1}`` → ``anc, out_0 … out_{n_cols-1}``.
+    """Kernel over ``win, f, v_0 … v_{n_cols-1}`` → ``anc, out_0 … out_{n_cols-1}``.
 
     All value columns are separate 1-D f32 arrays (a single ``[M, D]`` array with
     small ``D`` would pad the minor dim to 128 lanes in VMEM — a 64× blowup).
-    Walk state carried in SMEM: the chunk pointer, the count of rows in chunks
-    fully consumed by earlier blocks (``jbase``), and — inside one block's walk —
-    the previous row's extent (``prev_f``, seeding the telescoped compare).
+    ``win`` (SMEM, int32[3]) = (output-window start, initial chunk pointer,
+    initial consumed-row count) — zeros for a whole-population decode; a sharded
+    caller passes its shard's global output offset plus the precomputed walk
+    start (:func:`resample_move_window`).  Walk state carried in SMEM: the chunk
+    pointer, the count of rows in chunks fully consumed by earlier blocks
+    (``jbase``), and — inside one block's walk — the previous row's extent
+    (``prev_f``, seeding the telescoped compare).
     """
 
     def kernel(*refs):
-        f_ref = refs[0]
-        v_refs = refs[1 : 1 + n_cols]
-        anc_ref = refs[1 + n_cols]
-        out_refs = refs[2 + n_cols : 2 + 2 * n_cols]
+        win_ref = refs[0]
+        f_ref = refs[1]
+        v_refs = refs[2 : 2 + n_cols]
+        anc_ref = refs[2 + n_cols]
+        out_refs = refs[3 + n_cols : 3 + 2 * n_cols]
         carry_ref = refs[-1]
 
         b = pl.program_id(0)
 
         @pl.when(b == 0)
         def _():
-            carry_ref[0] = 0  # chunk pointer (units of _MC)
-            carry_ref[1] = 0  # jbase: rows in chunks fully below this block
+            carry_ref[0] = win_ref[1]  # chunk pointer (units of _MC)
+            carry_ref[1] = win_ref[2]  # jbase: rows in chunks below this block
 
-        base = b * _MW
+        base = win_ref[0] + b * _MW
         ptr0 = carry_ref[0]
         jbase = carry_ref[1]
         num_chunks = f_ref.shape[0] // _MC
@@ -266,20 +272,27 @@ def _make_move_kernel(n_cols: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def _resample_move_cols(f, cols, n, interpret=False):
-    """Fused run-length decode + value move.
+@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
+def _resample_move_cols(f, cols, n, start=None, n_out=None, interpret=False):
+    """Fused run-length decode + value move (optionally over an output window).
 
     ``f``: nondecreasing int32 extents ``[M]`` (``f_j`` = #outputs below
     ``cdf_j``, with ``f_{M-1}`` forced to ``n``); ``cols``: tuple of ``[M]``
-    float32 value columns.  Returns ``(anc int32 [n], ys)`` — ``ys`` a tuple of
-    ``[n]`` float32 with ``ys_c = cols_c[anc]`` exactly (the owner mask has one
-    nonzero per output, so the f32 multiply-sum is a copy, not a sum).
+    float32 value columns.  With ``start``/``n_out`` given, decodes only output
+    slots ``[start, start + n_out)`` — the sharded per-chip window — starting
+    the staircase walk at the first chunk containing an owner (one
+    ``searchsorted`` of ``start``).  Returns ``(anc int32 [n_out], ys)`` —
+    ``ys`` a tuple of ``[n_out]`` float32 with ``ys_c = cols_c[anc]`` exactly
+    (the owner mask has one nonzero per output, so the f32 multiply-sum is a
+    copy, not a sum).
     """
     m = f.shape[0]
+    windowed = n_out is not None
+    if not windowed:
+        n_out = n
     pad_in = (-m) % _MC
-    n_pad = -(-n // _MW) * _MW
-    sentinel = jnp.int32(2 * max(n_pad, m))
+    n_pad = -(-n_out // _MW) * _MW
+    sentinel = jnp.int32(1 << 30)
     f = f.at[m - 1].set(n)  # guard float cumsum undershoot: last extent covers n
     f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
     vs = [c.astype(jnp.float32) for c in cols]
@@ -287,11 +300,22 @@ def _resample_move_cols(f, cols, n, interpret=False):
         zpad = jnp.zeros((pad_in,), jnp.float32)
         vs = [jnp.concatenate([v, zpad]) for v in vs]
 
+    if windowed:
+        start = jnp.asarray(start, jnp.int32)
+        # First chunk holding a row with f > start: rows in earlier chunks are
+        # consumed for every slot of the window (their extents ≤ start).
+        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
+        ptr0 = j0 // _MC
+        win = jnp.stack([start, ptr0, ptr0 * _MC])
+    else:
+        win = jnp.zeros((3,), jnp.int32)
+
     n_cols = len(vs)
     outs = pl.pallas_call(
         _make_move_kernel(n_cols),
         grid=(n_pad // _MW,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
         out_specs=[
             pl.BlockSpec((_MW,), lambda b: (b,), memory_space=pltpu.VMEM)
         ]
@@ -300,9 +324,9 @@ def _resample_move_cols(f, cols, n, interpret=False):
         + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
-    )(f_p, *vs)
-    anc = outs[0][:n]
-    return anc, tuple(o[:n] for o in outs[1:])
+    )(win, f_p, *vs)
+    anc = outs[0][:n_out]
+    return anc, tuple(o[:n_out] for o in outs[1:])
 
 
 # VMEM budget: f and the D state columns (plus the [_MS, _MW] mask temporaries)
@@ -327,6 +351,25 @@ def move_eligible(state, m: int) -> bool:
     return d <= _MOVE_MAX_COLS and m * (1 + d) <= _MOVE_MAX_ELEMS
 
 
+def _flatten_cols(state, m):
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    cols = []
+    for leaf in leaves:
+        flat = leaf.reshape(m, -1)
+        cols.extend(flat[:, c] for c in range(flat.shape[1]))
+    return leaves, treedef, tuple(cols)
+
+
+def _unflatten_cols(leaves, treedef, ys, m, n_out):
+    out, off = [], 0
+    for leaf in leaves:
+        w = int(leaf.size) // m
+        stacked = jnp.stack(ys[off : off + w], axis=1) if w > 1 else ys[off][:, None]
+        out.append(stacked.reshape((n_out,) + leaf.shape[1:]))
+        off += w
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def resample_move(u, weights, state, n: int, interpret: bool = False):
     """Systematic resampling with the state moved in-kernel.
 
@@ -337,17 +380,32 @@ def resample_move(u, weights, state, n: int, interpret: bool = False):
     m = weights.shape[0]
     cdf = jnp.cumsum(weights)
     f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    cols = []
-    for leaf in leaves:
-        flat = leaf.reshape(m, -1)
-        cols.extend(flat[:, c] for c in range(flat.shape[1]))
-    anc, ys = _resample_move_cols(f, tuple(cols), n, interpret=interpret)
+    leaves, treedef, cols = _flatten_cols(state, m)
+    anc, ys = _resample_move_cols(f, cols, n, interpret=interpret)
     anc = jnp.clip(anc, 0, m - 1)
-    out, off = [], 0
-    for leaf in leaves:
-        w = int(leaf.size) // m
-        stacked = jnp.stack(ys[off : off + w], axis=1) if w > 1 else ys[off][:, None]
-        out.append(stacked.reshape((n,) + leaf.shape[1:]))
-        off += w
-    return anc, jax.tree_util.tree_unflatten(treedef, out)
+    return anc, _unflatten_cols(leaves, treedef, ys, m, n)
+
+
+def resample_move_window(
+    u, weights, state, n: int, start, n_out: int, interpret: bool = False
+):
+    """Window variant of :func:`resample_move` for sharded sweeps.
+
+    Decodes ancestors and moves state only for global output slots
+    ``[start, start + n_out)`` against the full population's systematic CDF —
+    the per-chip slice of the exchange after an ``all_gather`` of the state
+    (``start`` may be traced, e.g. ``axis_index * shard_len``).  Identical
+    extents formula as :func:`resample_move`, so the decoded indices equal the
+    corresponding slice of the whole-population ancestors.  Output slots at or
+    beyond ``n`` (e.g. the reference slot the caller overwrites) decode to
+    ``anc = m - 1`` with moved value 0.
+    """
+    m = weights.shape[0]
+    cdf = jnp.cumsum(weights)
+    f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+    leaves, treedef, cols = _flatten_cols(state, m)
+    anc, ys = _resample_move_cols(
+        f, cols, n, start=start, n_out=n_out, interpret=interpret
+    )
+    anc = jnp.clip(anc, 0, m - 1)
+    return anc, _unflatten_cols(leaves, treedef, ys, m, n_out)

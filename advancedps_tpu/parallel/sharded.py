@@ -50,8 +50,14 @@ from ..engine import SweepResult, _ref_slice
 from ..resampling import (
     ResampleWithESSThreshold,
     randcat,
+    resample_systematic,
 )
 from .mesh import PARTICLE_AXIS
+
+try:  # pragma: no cover - import guard mirrors engine.py
+    from ..ops import pallas_resample as _pallas_move
+except Exception:  # pragma: no cover
+    _pallas_move = None
 
 __all__ = ["sharded_sweep"]
 
@@ -98,12 +104,6 @@ def sharded_sweep(
                 lambda a: lax.all_gather(a, axis, tiled=True), x
             )
 
-        def exchange(state, local_anc):
-            state_all = gather_all(state)
-            return jax.tree_util.tree_map(
-                lambda a: jnp.take(a, local_anc, axis=0), state_all
-            )
-
         # ---- t = 0
         rng0 = _step_rng(key, rngmod.INIT, 0, gids)
         state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
@@ -128,33 +128,72 @@ def sharded_sweep(
             ess = (s1 * s1) / s2
             do_rs = ess <= resampler.threshold * n  # replicated predicate
 
+            def draw_ref_anc(state, logw):
+                ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
+                if ancestor_sampling:
+                    # PGAS ancestor draw: distributed logsumexp over
+                    # logW_i + log f_t(ref_t | state_i) (SURVEY.md §5.8(d)).
+                    ref_t = _ref_slice(ref, t)
+                    alw = logw + kernel.transition_logprob(t, state, ref_t)
+                    am = lax.pmax(jnp.max(alw), axis)
+                    ae = jnp.exp(alw - am)
+                    as1 = lax.psum(jnp.sum(ae), axis)
+                    aw_all = lax.all_gather(ae, axis, tiled=True) / as1
+                    anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
+                    ref_anc = randcat(anc_key, aw_all).astype(jnp.int32)
+                return ref_anc
+
             def resample_branch(operand):
                 state, logw = operand
                 # The one O(N) weight collective, gated on the ESS test.
                 weights_all = lax.all_gather(e, axis, tiled=True) / s1
                 rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
+
+                # Fast path (TPU): gather the state pytree once, then decode
+                # the *local window* of systematic ancestors AND move this
+                # shard's rows in one fused Pallas pass (same extents formula
+                # as ``resample_systematic`` ⇒ identical indices), instead of
+                # a whole-population decode plus an XLA dynamic gather.
+                state_all = gather_all(state)
+                use_fused = (
+                    resampler.resampler is resample_systematic
+                    and _pallas_move is not None
+                    and _pallas_move.move_eligible(state_all, n)
+                )
+                if use_fused:
+                    u = jax.random.uniform(rs_key, dtype=weights_all.dtype)
+                    local_anc, moved = _pallas_move.resample_move_window(
+                        u, weights_all, state_all, n_resample, k_idx * L, L
+                    )
+                    if has_ref:
+                        ref_anc = draw_ref_anc(state, logw)
+                        is_ref = gids == (n - 1)
+                        local_anc = jnp.where(is_ref, ref_anc, local_anc)
+                        moved = jax.tree_util.tree_map(
+                            lambda mv, a: jnp.where(
+                                is_ref.reshape((L,) + (1,) * (mv.ndim - 1)),
+                                a[ref_anc][None],
+                                mv,
+                            ),
+                            moved,
+                            state_all,
+                        )
+                    return local_anc, moved, jnp.zeros_like(logw)
+
                 # Replicated ancestor computation — same resampler, same key
                 # as the single-chip engine ⇒ ancestors agree up to f32
                 # reduction-order flips at CDF boundaries (module docstring).
                 anc_drawn = resampler.resampler(rs_key, weights_all, n_resample)
                 if has_ref:
-                    ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
-                    if ancestor_sampling:
-                        # PGAS ancestor draw: distributed logsumexp over
-                        # logW_i + log f_t(ref_t | state_i) (SURVEY.md §5.8(d)).
-                        ref_t = _ref_slice(ref, t)
-                        alw = logw + kernel.transition_logprob(t, state, ref_t)
-                        am = lax.pmax(jnp.max(alw), axis)
-                        ae = jnp.exp(alw - am)
-                        as1 = lax.psum(jnp.sum(ae), axis)
-                        aw_all = lax.all_gather(ae, axis, tiled=True) / as1
-                        anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
-                        ref_anc = randcat(anc_key, aw_all).astype(jnp.int32)
+                    ref_anc = draw_ref_anc(state, logw)
                     anc = jnp.concatenate([anc_drawn, ref_anc[None]])
                 else:
                     anc = anc_drawn
                 local_anc = anc[gids]  # [L]
-                return local_anc, exchange(state, local_anc), jnp.zeros_like(logw)
+                moved = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, local_anc, axis=0), state_all
+                )
+                return local_anc, moved, jnp.zeros_like(logw)
 
             def skip_branch(operand):
                 state, logw = operand

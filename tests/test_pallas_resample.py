@@ -118,3 +118,48 @@ def test_resample_move_values_exact_copies():
     x = jax.random.normal(jax.random.fold_in(key, 1), (m,)) * 1e-7  # tiny values
     anc, moved = resample_move(0.123, w, x, n, interpret=True)
     np.testing.assert_array_equal(np.asarray(moved), np.asarray(x)[np.asarray(anc)])
+
+
+from advancedps_tpu.ops.pallas_resample import resample_move_window
+
+
+@pytest.mark.parametrize("m,n,n_shards", [(8192, 8192, 8), (5000, 4096, 4), (1000, 4096, 4)])
+def test_resample_move_window_matches_full_slices(m, n, n_shards):
+    # The sharded exchange decodes each chip's output window against the
+    # global CDF; windows must tile exactly into the whole-population result.
+    rng = np.random.default_rng(m + n)
+    w = rng.gamma(0.2, size=m).astype(np.float32)
+    w = jnp.asarray(w / w.sum())
+    x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    u = float(rng.random())
+    anc_full, moved_full = resample_move(u, w, x, n, interpret=True)
+    L = n // n_shards
+    for k in range(n_shards):
+        anc_w, moved_w = resample_move_window(
+            u, w, x, n, jnp.int32(k * L), L, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(anc_w), np.asarray(anc_full)[k * L : (k + 1) * L]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(moved_w), np.asarray(moved_full)[k * L : (k + 1) * L]
+        )
+
+
+def test_resample_move_window_past_population_end():
+    # Slots at/after the drawn population (the reference slot the sharded
+    # caller overwrites) decode to the clipped last parent with moved value 0.
+    m = n = 4096
+    rng = np.random.default_rng(7)
+    w = rng.gamma(0.2, size=m).astype(np.float32)
+    w = jnp.asarray(w / w.sum())
+    x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    anc_f, moved_f = resample_move(0.3, w, x, n - 1, interpret=True)
+    anc_w, moved_w = resample_move_window(
+        0.3, w, x, n - 1, jnp.int32(n - 1024), 1024, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(anc_w)[:-1], np.asarray(anc_f)[n - 1024 :])
+    np.testing.assert_array_equal(
+        np.asarray(moved_w)[:-1], np.asarray(moved_f)[n - 1024 :]
+    )
+    assert int(anc_w[-1]) == m - 1 and float(moved_w[-1]) == 0.0
