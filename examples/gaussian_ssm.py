@@ -38,7 +38,12 @@ def main():
     pgas = aps.PGAS(args.particles)
     t0 = time.perf_counter()
     chain = aps.sample(jax.random.key(1), traced, pgas, args.iters)
-    jax.block_until_ready(chain.trajectory)
+    _ = float(np.asarray(chain.log_evidence)[-1])  # force fetch
+    dt_first = time.perf_counter() - t0
+    # Steady-state throughput: second call reuses the compiled chain program.
+    t0 = time.perf_counter()
+    chain2 = aps.sample(jax.random.key(2), traced, pgas, args.iters)
+    _ = float(np.asarray(chain2.log_evidence)[-1])
     dt = time.perf_counter() - t0
 
     traj = np.asarray(chain.trajectory)  # [iters, T]
@@ -52,7 +57,7 @@ def main():
     rmse_kalman = float(np.sqrt(np.mean((mean_traj - np.asarray(kf.means)) ** 2)))
 
     print(f"PGAS({args.particles}) x {args.iters} iters, T={args.steps}: {dt:.2f}s "
-          f"({args.iters / dt:.1f} iters/s)")
+          f"({args.iters / dt:.1f} iters/s; first call incl. compile {dt_first:.2f}s)")
     print(f"posterior-mean RMSE vs truth:  {rmse_truth:.4f}")
     print(f"posterior-mean RMSE vs Kalman filter means: {rmse_kalman:.4f}")
     print(f"mean log-evidence: {float(np.mean(np.asarray(chain.log_evidence))):.3f} "
