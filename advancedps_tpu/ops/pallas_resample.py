@@ -150,7 +150,7 @@ _MS = 512  # rows per mask sub-slice (bounds temp VMEM to [_MS, _MW])
 _MW = 1024  # output slots per grid step (f32/i32 1-D tile granularity)
 
 
-def _make_move_kernel(n_cols: int):
+def _make_move_kernel(n_cols: int, _MC: int = _MC, _MS: int = _MS, _MW: int = _MW):
     """Kernel over ``win, f, v_0 … v_{n_cols-1}`` → ``anc, out_0 … out_{n_cols-1}``.
 
     All value columns are separate 1-D f32 arrays (a single ``[M, D]`` array with
@@ -272,8 +272,12 @@ def _make_move_kernel(n_cols: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
-def _resample_move_cols(f, cols, n, start=None, n_out=None, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("n", "n_out", "interpret", "tiles")
+)
+def _resample_move_cols(
+    f, cols, n, start=None, n_out=None, interpret=False, tiles=None
+):
     """Fused run-length decode + value move (optionally over an output window).
 
     ``f``: nondecreasing int32 extents ``[M]`` (``f_j`` = #outputs below
@@ -286,12 +290,13 @@ def _resample_move_cols(f, cols, n, start=None, n_out=None, interpret=False):
     (the owner mask has one nonzero per output, so the f32 multiply-sum is a
     copy, not a sum).
     """
+    mc, ms, mw = tiles if tiles is not None else (_MC, _MS, _MW)
     m = f.shape[0]
     windowed = n_out is not None
     if not windowed:
         n_out = n
-    pad_in = (-m) % _MC
-    n_pad = -(-n_out // _MW) * _MW
+    pad_in = (-m) % mc
+    n_pad = -(-n_out // mw) * mw
     sentinel = jnp.int32(1 << 30)
     f = f.at[m - 1].set(n)  # guard float cumsum undershoot: last extent covers n
     f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
@@ -305,19 +310,19 @@ def _resample_move_cols(f, cols, n, start=None, n_out=None, interpret=False):
         # First chunk holding a row with f > start: rows in earlier chunks are
         # consumed for every slot of the window (their extents ≤ start).
         j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
-        ptr0 = j0 // _MC
-        win = jnp.stack([start, ptr0, ptr0 * _MC])
+        ptr0 = j0 // mc
+        win = jnp.stack([start, ptr0, ptr0 * mc])
     else:
         win = jnp.zeros((3,), jnp.int32)
 
     n_cols = len(vs)
     outs = pl.pallas_call(
-        _make_move_kernel(n_cols),
-        grid=(n_pad // _MW,),
+        _make_move_kernel(n_cols, mc, ms, mw),
+        grid=(n_pad // mw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
         out_specs=[
-            pl.BlockSpec((_MW,), lambda b: (b,), memory_space=pltpu.VMEM)
+            pl.BlockSpec((mw,), lambda b: (b,), memory_space=pltpu.VMEM)
         ]
         * (1 + n_cols),
         out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
