@@ -68,6 +68,48 @@ class Distribution:
     def log_prob(self, x):
         raise NotImplementedError
 
+    def sample_positional(self, key, gids):
+        """Batched draw where element ``i`` is a pure function of
+        ``(key, gids[i])`` — **never of the batch layout**.
+
+        This is the sweep engines' sampling path (see
+        :mod:`advancedps_tpu.rng`): it makes sharded and single-chip sweeps
+        draw bit-identical randomness and lets a retained trajectory be
+        replayed one particle at a time in O(T).  The distribution's batch
+        shape must be ``()`` (one law for all particles) or ``(n,)``
+        (per-particle parameters, e.g. ``Normal(loc=x[N], q)``).
+
+        Subclasses with cheap inverse/transform samplers override this with
+        direct counter-mode draws (one Threefry block per element, Pallas-safe
+        uint32/float arithmetic); this fallback derives one jax PRNG key per
+        global id, which is positional but costs a second cipher pass.
+        """
+        from . import rng as rngmod
+
+        gids = jnp.asarray(gids)
+        n = gids.shape[0]
+        ks = jax.vmap(lambda g: jax.random.fold_in(key, g))(gids)
+        bs = tuple(self.batch_shape)
+        if bs == ():
+            return jax.vmap(lambda k: self.sample(k))(ks)
+        if bs != (n,):
+            raise ValueError(
+                f"sample_positional needs batch_shape () or ({n},); got {bs}"
+            )
+        db = self._broadcast_batch(n)
+        return jax.vmap(lambda k, d: d.sample(k))(ks, db)
+
+    def _broadcast_batch(self, n):
+        """Broadcast every parameter leaf to a leading batch axis of ``n``."""
+
+        def bc(leaf):
+            leaf = jnp.asarray(leaf)
+            if leaf.ndim >= 1 and leaf.shape[0] == n:
+                return leaf
+            return jnp.broadcast_to(leaf, (n,) + leaf.shape)
+
+        return jax.tree_util.tree_map(bc, self)
+
     def _full_shape(self, sample_shape):
         if isinstance(sample_shape, int):
             sample_shape = (sample_shape,)
@@ -92,6 +134,12 @@ class Normal(Distribution):
     def sample(self, key, sample_shape=()):
         shape = self._full_shape(sample_shape)
         eps = jax.random.normal(key, shape, dtype=jnp.result_type(float))
+        return jnp.asarray(self.loc) + jnp.asarray(self.scale) * eps
+
+    def sample_positional(self, key, gids):
+        from . import rng as rngmod
+
+        eps = rngmod.pos_normal(key, gids)
         return jnp.asarray(self.loc) + jnp.asarray(self.scale) * eps
 
     def log_prob(self, x):
@@ -141,6 +189,14 @@ class MvNormal(Distribution):
             "...ij,...j->...i", self._chol, eps
         )
 
+    def sample_positional(self, key, gids):
+        from . import rng as rngmod
+
+        eps = rngmod.pos_normals(key, gids, self.event_shape[0])  # [n, D]
+        return jnp.asarray(self.loc) + jnp.einsum(
+            "...ij,...j->...i", self._chol, eps
+        )
+
     def log_prob(self, x):
         d = self.event_shape[0]
         chol = self._chol
@@ -171,6 +227,12 @@ class Bernoulli(Distribution):
         return jax.random.bernoulli(key, jnp.asarray(self.p), shape).astype(
             jnp.result_type(float)
         )
+
+    def sample_positional(self, key, gids):
+        from . import rng as rngmod
+
+        u = rngmod.pos_uniform(key, gids)
+        return (u < jnp.asarray(self.p)).astype(jnp.result_type(float))
 
     def log_prob(self, x):
         p = jnp.asarray(self.p, dtype=jnp.result_type(float))
@@ -267,6 +329,14 @@ class Uniform(Distribution):
             jnp.asarray(self.high) - jnp.asarray(self.low)
         )
 
+    def sample_positional(self, key, gids):
+        from . import rng as rngmod
+
+        u = rngmod.pos_uniform(key, gids)
+        return jnp.asarray(self.low) + u * (
+            jnp.asarray(self.high) - jnp.asarray(self.low)
+        )
+
     def log_prob(self, x):
         low = jnp.asarray(self.low, dtype=jnp.result_type(float))
         high = jnp.asarray(self.high, dtype=jnp.result_type(float))
@@ -293,6 +363,12 @@ class Exponential(Distribution):
         shape = self._full_shape(sample_shape)
         e = jax.random.exponential(key, shape, dtype=jnp.result_type(float))
         return e * jnp.asarray(self.scale)
+
+    def sample_positional(self, key, gids):
+        from . import rng as rngmod
+
+        u = rngmod.pos_uniform(key, gids)
+        return -jnp.log1p(-u) * jnp.asarray(self.scale)
 
     def log_prob(self, x):
         s = jnp.asarray(self.scale, dtype=jnp.result_type(float))
@@ -366,6 +442,9 @@ class LogNormal(Distribution):
     def sample(self, key, sample_shape=()):
         return jnp.exp(Normal(self.loc, self.scale).sample(key, sample_shape))
 
+    def sample_positional(self, key, gids):
+        return jnp.exp(Normal(self.loc, self.scale).sample_positional(key, gids))
+
     def log_prob(self, x):
         x = jnp.asarray(x)
         logx = jnp.log(x)
@@ -417,6 +496,13 @@ class Dirac(Distribution):
     def sample(self, key, sample_shape=()):
         del key
         return jnp.broadcast_to(self.value, self._full_shape(sample_shape))
+
+    def sample_positional(self, key, gids):
+        del key
+        n = jnp.asarray(gids).shape[0]
+        v = jnp.asarray(self.value)
+        target = v.shape if (v.ndim >= 1 and v.shape[0] == n) else (n,) + v.shape
+        return jnp.broadcast_to(v, target)
 
     def log_prob(self, x):
         v = jnp.asarray(self.value)

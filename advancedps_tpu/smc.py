@@ -67,8 +67,10 @@ class SSMKernel(SweepKernel):
         prior = self.ssm.prior
         n = rng.n
         if prior.vectorized:
-            # One batched counter pass (TPU-fast path).
-            x0 = prior.distribution().sample(rng.batch_key(), (n,))
+            # One batched counter pass, element i a pure function of
+            # (key, gids[i]) — bit-exact across sharding layouts and
+            # recomputable per-particle for O(T) trajectory replay.
+            x0 = prior.distribution().sample_positional(rng.key, rng.gids)
         else:
             x0 = jax.vmap(lambda k: prior.sample(k))(rng.particle_keys())
         x0 = inject_ref(ref_mask, ref0, x0)
@@ -87,8 +89,11 @@ class SSMKernel(SweepKernel):
         if self._markov:
             x_prev = state
             if dyn.vectorized:
-                # distribution(t, x_batch) broadcasts ⇒ one batched sample.
-                x_new = dyn.distribution(t, x_prev).sample(rng.batch_key())
+                # distribution(t, x_batch) broadcasts ⇒ one positional batched
+                # sample (counter = global particle id; layout-independent).
+                x_new = dyn.distribution(t, x_prev).sample_positional(
+                    rng.key, rng.gids
+                )
             else:
                 x_new = jax.vmap(lambda k, x: dyn.sample(k, t, x))(
                     rng.particle_keys(), x_prev

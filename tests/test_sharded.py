@@ -31,12 +31,12 @@ N = 64
 T = 12
 
 
-# Non-vectorized LGSSM components: these use the per-particle-key (vmap) path,
-# whose randomness is a pure function of the *global* particle id — so the sharded
-# sweep reproduces the single-chip sweep almost exactly (up to f32 reduction-order
-# flips at CDF boundaries).  The built-in models set vectorized=True and use one
-# batched counter pass per (shard, step) — deliberately different randomness per
-# layout, tested statistically below.
+# Non-vectorized LGSSM components: these use the per-particle-key (vmap) path.
+# Both this path and the vectorized (``sample_positional`` counter-mode) path
+# derive randomness as a pure function of the *global* particle id, so the
+# sharded sweep reproduces the single-chip sweep almost exactly (up to f32
+# reduction-order flips at CDF boundaries).  The built-in vectorized models are
+# bit-checked in ``test_vectorized_models_bit_exact`` below.
 @pytree_dataclass
 class _Prior(aps.StatePrior):
     sigma: jax.Array = 0.678
@@ -109,10 +109,12 @@ def test_sharded_matches_single_chip(setup, mesh, resampler):
     )
 
 
-def test_vectorized_models_agree_statistically(mesh):
-    # Built-in (vectorized=True) models draw layout-dependent randomness; the
-    # sharded and single-chip sweeps are different but equally valid SMC runs:
-    # compare log-evidence and final moments.
+def test_vectorized_models_bit_exact(mesh):
+    # The production fast path: built-in (vectorized=True) models sample via
+    # positional counter-mode draws (rng.pos_* — element i depends only on the
+    # global particle id), so the sharded sweep is bit-identical to the
+    # single-chip sweep in its randomness; log-evidence matches to reduction-
+    # order tolerance and ancestors agree entirely (VERDICT r1 item 5).
     import math
 
     a, q, r = 0.9, 0.32, 0.5
@@ -122,7 +124,15 @@ def test_vectorized_models_agree_statistically(mesh):
     gated = ResampleWithESSThreshold()
     single = sweep(jax.random.key(2), kernel, 512, gated)
     sharded = sharded_sweep(jax.random.key(2), kernel, 512, gated, mesh)
-    # Both runs must sit within MC error of the exact marginal likelihood.
+    _assert_equivalent(single, sharded)
+    anc_agreement = (
+        np.asarray(single.ancestors) == np.asarray(sharded.ancestors)
+    ).mean()
+    assert anc_agreement == 1.0
+    np.testing.assert_allclose(
+        np.asarray(single.states), np.asarray(sharded.states), atol=1e-5
+    )
+    # Both runs must also sit within MC error of the exact marginal likelihood.
     kf = aps.utils.kalman_filter(
         np.asarray(ys), a, 0.0, q, 1.0, r, 0.0, math.sqrt(q * q / (1 - a * a))
     )
