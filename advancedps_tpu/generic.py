@@ -15,12 +15,21 @@ is delivered as a **trace-once / execute-many** front-end (SURVEY.md §2.9):
   analogue of a static computation graph).
 * At build time the function is traced once eagerly to discover every sample site
   (shape, dtype, segment = index of the next observe) and the number of observes T.
-* During a sweep, each step ``t`` re-executes the function **vectorised over all
-  particles** with position-derived keys: sites in segments ``< t`` replay their
-  stored values, sites in segment ``t`` draw fresh samples, the observe at index
-  ``t`` contributes the particle's log-weight.  All of this is ``where``-masked
-  arithmetic on a dense ``[N, S]`` value matrix — no tasks, no tape copies: forking
-  is the engine's ancestor gather.
+* During a sweep, step ``t`` executes **only segment ``t``'s slice** of the program:
+  ``lax.switch(t, branches)`` dispatches to a per-segment closure in which sites of
+  earlier segments read their stored values, segment-``t`` sites draw fresh samples
+  (position-derived keys), later sites are dead constants, and only the ``t``-th
+  observe contributes the log-weight.  Because each branch is traced with a *static*
+  segment index, XLA dead-code-eliminates everything outside the dependency cone of
+  step ``t`` — per-step work is O(cone of segment ``t`` over stored site values)
+  rather than O(whole program), matching the reference coroutine's O(T)-total sweep
+  (``/root/reference/ext/AdvancedPSLibtaskExt.jl:116-122``) for Markov-structured
+  programs.  State stays a dense ``[N, S]`` value matrix — no tasks, no tape
+  copies: forking is the engine's ancestor gather.
+* Sample sites appearing *after the last observe* (segment == T) are drawn during
+  the final step, so trajectories materialise every site's value — the analogue of
+  the reference's trailing ``replay`` pass
+  (``/root/reference/ext/AdvancedPSLibtaskExt.jl:240-252``).
 
 The reference's ``replay`` pass (``ext/AdvancedPSLibtaskExt.jl:240-252``), which
 re-executes a trajectory to materialise its values, is unnecessary: values are stored
@@ -101,21 +110,25 @@ class _TracerCtx:
         return dist.log_prob(value)
 
 
-class _RunCtx:
-    """Per-particle interpretation context (executed under ``vmap``).
+class _SegmentCtx:
+    """Per-particle, per-**static**-segment interpretation context.
 
-    ``mode='sample'``: sites in segment ``t`` draw fresh values (stored), segments
-    ``< t`` replay stored values, segments ``> t`` draw throwaway values so program
-    execution can continue.
-    ``mode='score'``: every site replays its stored value; the observe with index
-    ``t`` contributes the log-weight (mask-selected, so ``t`` may be traced).
+    One instance interprets the program for segment ``t`` (a Python int, fixed at
+    trace time), so everything outside segment ``t``'s dependency cone traces to
+    dead code and is eliminated by XLA:
+
+    ``mode='sample'``: segment-``t`` sites draw fresh values (persisted); earlier
+    segments replay stored values; later sites return dead zero constants (they
+    execute after the ``t``-th observe, so they cannot feed it).  Sites *after the
+    last observe* (segment == T) are drawn during the final segment ``T-1``.
+    ``mode='score'``: every live site replays its stored value; only the ``t``-th
+    observe's log-density is evaluated.
     """
 
-    def __init__(self, model, t, key, values, mode):
+    def __init__(self, model, t: int, key, values, mode):
         self.model = model
-        self.t = t
+        self.t = t  # static Python int — one traced branch per segment
         self.key = key
-        self.values_in = values
         self.values_out = values
         self.mode = mode
         self.logw = jnp.zeros((), dtype=values.dtype)
@@ -132,31 +145,36 @@ class _RunCtx:
         if s >= len(self.model.sites):
             raise _TraceError(_MISALIGNED)
         site = self.model.sites[s]
-        stored = self._read(site)
+        last = self.model.num_steps - 1
+        # Trailing sites (segment == T, after the final observe) are materialised
+        # in the final segment, mirroring the reference's replay
+        # (/root/reference/ext/AdvancedPSLibtaskExt.jl:240-252).
+        seg = min(site.segment, last)
+        if seg < self.t:
+            return self._read(site)
+        if seg > self.t:
+            # Executes after this segment's observe — can never feed it.  A dead
+            # constant keeps program execution going and traces to nothing.
+            return jnp.zeros(site.shape, site.dtype)
         if self.mode == "score":
-            return stored
+            return self._read(site)
         fresh = dist.sample(jax.random.fold_in(self.key, s))
         fresh = jnp.asarray(fresh, dtype=site.dtype).reshape(site.shape)
-        seg = site.segment  # static per site; self.t may be traced
-        # Replay past segments, draw fresh for the current (and future) ones.
-        val = jnp.where(self.t > seg, stored, fresh)
-        # Persist only the current segment's draws.
-        stored_flat = self.values_out[site.offset : site.offset + site.size]
-        fresh_flat = fresh.reshape((site.size,)).astype(self.values_out.dtype)
-        keep = jnp.where(jnp.equal(self.t, seg), fresh_flat, stored_flat)
         self.values_out = self.values_out.at[
             site.offset : site.offset + site.size
-        ].set(keep)
-        return val.astype(site.dtype)
+        ].set(fresh.reshape((site.size,)).astype(self.values_out.dtype))
+        return fresh
 
     def observe(self, dist, value):
         o = self._obs_idx
         self._obs_idx += 1
         if o >= self.model.num_steps:
             raise _TraceError(_MISALIGNED)
+        if o != self.t:
+            return jnp.zeros((), dtype=self.logw.dtype)
         lp = jnp.asarray(dist.log_prob(value), dtype=self.logw.dtype)
         lp = jnp.sum(lp)  # scalar score per observe (batched observes sum)
-        self.logw = self.logw + jnp.where(jnp.equal(self.t, o), lp, 0.0)
+        self.logw = self.logw + lp
         return lp
 
 
@@ -194,25 +212,37 @@ class GenericModel:
             raise ValueError("generic model must contain at least one observe")
 
     # -- interpretation ----------------------------------------------------
-    def run_sample(self, t, key, values):
-        """One particle: draw segment-``t`` sites, return updated value vector."""
-        ctx = _RunCtx(self, t, key, values, mode="sample")
+    def _run_segment(self, t: int, key, values, mode: str):
+        ctx = _SegmentCtx(self, t, key, values, mode)
         try:
             self.fn(ctx)
         except jax.errors.TracerBoolConversionError as e:
             raise _TraceError(_MISALIGNED) from e
         if ctx._site_idx != len(self.sites) or ctx._obs_idx != self.num_steps:
             raise _TraceError(_MISALIGNED)
-        return ctx.values_out
+        return ctx
+
+    def run_sample(self, t, key, values):
+        """One particle: draw segment-``t`` sites, return updated value vector.
+
+        ``t`` may be traced — ``lax.switch`` dispatches to the per-segment branch,
+        each traced with a static segment index so only segment ``t``'s dependency
+        cone executes (the O(T)-total sweep property)."""
+        branches = [
+            lambda key, values, _t=_t: self._run_segment(
+                _t, key, values, "sample"
+            ).values_out
+            for _t in range(self.num_steps)
+        ]
+        return jax.lax.switch(t, branches, key, values)
 
     def run_score(self, t, values):
         """One particle: replay stored values, return observe-``t`` log-weight."""
-        ctx = _RunCtx(self, t, None, values, mode="score")
-        try:
-            self.fn(ctx)
-        except jax.errors.TracerBoolConversionError as e:
-            raise _TraceError(_MISALIGNED) from e
-        return ctx.logw
+        branches = [
+            lambda values, _t=_t: self._run_segment(_t, None, values, "score").logw
+            for _t in range(self.num_steps)
+        ]
+        return jax.lax.switch(t, branches, values)
 
     # -- value decoding ----------------------------------------------------
     def decode(self, values: jax.Array) -> dict:
@@ -253,7 +283,16 @@ class GenericSSMKernel(SweepKernel):
 
     def init(self, rng, ref0, ref_mask):
         values = jnp.zeros((rng.n, self.model.flat_size), dtype=jnp.result_type(float))
-        return self._advance(jnp.asarray(0), rng, values, ref0, ref_mask)
+        # t = 0 is static here: run segment 0 directly (no switch dispatch).
+        keys = rng.particle_keys()
+        new_vals = jax.vmap(
+            lambda k, v: self.model._run_segment(0, k, v, "sample").values_out
+        )(keys, values)
+        new_vals = inject_ref(ref_mask, ref0, new_vals)
+        logw = jax.vmap(
+            lambda v: self.model._run_segment(0, None, v, "score").logw
+        )(new_vals)
+        return new_vals, logw
 
     def step(self, t, rng, state, ref_t, ref_mask):
         return self._advance(t, rng, state, ref_t, ref_mask)

@@ -114,3 +114,56 @@ def test_generic_determinism():
     c1 = aps.sample(jax.random.key(3), gm, aps.PG(8), 5)
     c2 = aps.sample(jax.random.key(3), gm, aps.PG(8), 5)
     assert bool((c1.trajectory == c2.trajectory).all())
+
+
+def test_trailing_site_materialised():
+    # A sample site after the final observe must appear in trajectories (the
+    # reference materialises it during replay, ext/AdvancedPSLibtaskExt.jl:240-252).
+    def m(ctx):
+        a = ctx.sample(Normal(1.0, 0.1), name="a")
+        ctx.observe(Normal(a, 1.0), 1.0)
+        ctx.sample(Normal(a + 10.0, 0.1), name="tail")
+
+    gm = aps.GenericModel(m)
+    assert [s.segment for s in gm.sites] == [0, 1]
+    out = aps.sample(jax.random.key(0), gm, aps.SMC(64))
+    dec = gm.decode(np.asarray(out.trajectories[-1]))
+    # tail ≈ a + 10 for every particle; would be 0.0 if never written.
+    assert np.all(np.abs(dec["tail"] - dec["a"] - 10.0) < 1.0)
+
+    # and through a PG retained trajectory
+    chain = aps.sample(jax.random.key(1), gm, aps.PG(8), 3)
+    final = gm.decode(np.asarray(chain.trajectory)[:, -1, :])
+    assert np.all(np.abs(final["tail"] - final["a"] - 10.0) < 1.0)
+
+
+def test_segment_sliced_execution_is_linear_in_T():
+    # O(T) sweep: the scan body dispatches to per-segment branches, so the jaxpr
+    # of a T-observe Markov program grows ~linearly in T (the old design re-ran
+    # the whole program per step → quadratic site evaluations).
+    def make(T):
+        def m(ctx):
+            x = ctx.sample(Normal(0.0, 1.0))
+            ctx.observe(Normal(x, 1.0), 0.1)
+            for _ in range(T - 1):
+                x = ctx.sample(Normal(x, 1.0))
+                ctx.observe(Normal(x, 1.0), 0.1)
+
+        return aps.GenericModel(m)
+
+    def nexpr(T):
+        gm = make(T)
+        kernel = aps.generic.GenericSSMKernel(model=gm)
+        from advancedps_tpu.engine import sweep
+
+        f = jax.jit(
+            lambda k: sweep(k, kernel, 4, aps.SMC(4).resampler).log_evidence
+        )
+        # lowering applies jaxpr DCE: dead stored-value reads in non-live
+        # segments vanish, leaving only each branch's dependency cone.
+        return len(f.lower(jax.random.key(0)).as_text())
+
+    n16, n32 = nexpr(16), nexpr(32)
+    # linear-or-better growth: doubling T must far undercut quadrupling (the old
+    # whole-program-per-step design measured ~3.9x here).
+    assert n32 < 2.2 * n16, (n16, n32)
