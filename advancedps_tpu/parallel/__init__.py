@@ -5,7 +5,7 @@ from .mesh import (
     particle_mesh,
     shard_along,
 )
-from .chains import sample_chains, smc_ensemble
+from .chains import sample_chains, sharded_chains_pg, smc_ensemble
 from .pg import reconstruct_one_sharded, sharded_sample_pg, sharded_step_pg
 from .sharded import sharded_sweep
 
@@ -20,5 +20,6 @@ __all__ = [
     "sharded_sample_pg",
     "reconstruct_one_sharded",
     "sample_chains",
+    "sharded_chains_pg",
     "smc_ensemble",
 ]

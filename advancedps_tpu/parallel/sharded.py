@@ -59,39 +59,36 @@ try:  # pragma: no cover - import guard mirrors engine.py
 except Exception:  # pragma: no cover
     _pallas_move = None
 
-__all__ = ["sharded_sweep"]
+__all__ = ["sharded_sweep", "sweep_shard_body"]
 
 
 def _step_rng(key, tag, t, gids):
     return rngmod.StepRng(key=rngmod.step_key(key, tag, t), gids=gids)
 
 
-def sharded_sweep(
+def sweep_shard_body(
     key: jax.Array,
     kernel,
-    n_particles: int,
+    ref: Any,
+    *,
+    n: int,
+    L: int,
     resampler: ResampleWithESSThreshold,
-    mesh: Mesh,
-    ref: Any = None,
     ancestor_sampling: bool = False,
     store_states: bool = True,
     axis: str = PARTICLE_AXIS,
-) -> SweepResult:
-    """Sharded counterpart of :func:`advancedps_tpu.engine.sweep`.
+):
+    """Per-shard sweep body — runs *inside* a ``shard_map`` whose mesh has a
+    particle axis named ``axis`` (callers may add further axes, e.g. a chain
+    axis).  ``L`` is the local particle count (``n // mesh.shape[axis]``).
 
-    ``n_particles`` must divide evenly by the mesh's ``axis`` size.  Returns a
-    :class:`SweepResult` whose per-particle arrays are global (sharded) arrays.
+    Returns ``(state, logw, log_z, snaps, ancs, esss, rss)`` with per-particle
+    arrays local ``[L, ...]`` and scalars replicated across the axis.
     """
-    n = n_particles
-    K = mesh.shape[axis]
-    if n % K:
-        raise ValueError(f"n_particles={n} not divisible by mesh axis {axis}={K}")
-    L = n // K
-    T = kernel.num_steps
     has_ref = ref is not None
-    if ancestor_sampling and not has_ref:
-        raise ValueError("ancestor_sampling requires a reference trajectory")
-    n_resample = n - 1 if has_ref else n
+    T = kernel.num_steps
+    n_resample = n - 1 if has_ref else n  # reference draws n-1 ancestors
+    # (``/root/reference/src/container.jl:181-182``)
 
     def body(key, kernel, ref):
         k_idx = lax.axis_index(axis)
@@ -226,6 +223,46 @@ def sharded_sweep(
         sf = lax.psum(jnp.sum(jnp.exp(logw - mf)), axis)
         log_z = log_z + (mf + jnp.log(sf) - pending)
         return state, logw, log_z, snaps, ancs, esss, rss
+
+    return body(key, kernel, ref)
+
+
+def sharded_sweep(
+    key: jax.Array,
+    kernel,
+    n_particles: int,
+    resampler: ResampleWithESSThreshold,
+    mesh: Mesh,
+    ref: Any = None,
+    ancestor_sampling: bool = False,
+    store_states: bool = True,
+    axis: str = PARTICLE_AXIS,
+) -> SweepResult:
+    """Sharded counterpart of :func:`advancedps_tpu.engine.sweep`.
+
+    ``n_particles`` must divide evenly by the mesh's ``axis`` size.  Returns a
+    :class:`SweepResult` whose per-particle arrays are global (sharded) arrays.
+    """
+    n = n_particles
+    K = mesh.shape[axis]
+    if n % K:
+        raise ValueError(f"n_particles={n} not divisible by mesh axis {axis}={K}")
+    L = n // K
+    if ancestor_sampling and ref is None:
+        raise ValueError("ancestor_sampling requires a reference trajectory")
+
+    def body(key, kernel, ref):
+        return sweep_shard_body(
+            key,
+            kernel,
+            ref,
+            n=n,
+            L=L,
+            resampler=resampler,
+            ancestor_sampling=ancestor_sampling,
+            store_states=store_states,
+            axis=axis,
+        )
 
     p = P(axis)
     rep = P()

@@ -209,3 +209,57 @@ def test_uneven_shard_rejected(setup, mesh):
         sharded_sweep(
             jax.random.key(0), setup, 60, ResampleWithESSThreshold(), mesh
         )
+
+
+class TestChainParticleMesh:
+    """2-D (chains × particles) mesh: K independent chains, each sweep sharded
+    over its own particle group (SURVEY.md §2.12's free second axis)."""
+
+    def _setup(self):
+        import advancedps_tpu as aps
+        from advancedps_tpu.smc import SSMKernel
+
+        model = aps.models.stationary_lgssm(a=0.9, q=0.32, r=1.0)
+        _, ys = aps.simulate(jax.random.key(0), model, 8)
+        return aps, SSMKernel(ssm=aps.TracedSSM(model, ys))
+
+    def test_matches_vmap_chains_and_deterministic(self):
+        aps, kernel = self._setup()
+        from advancedps_tpu.parallel import chain_particle_mesh, sharded_chains_pg
+
+        mesh = chain_particle_mesh(2, 4)  # 2 chain rows × 4 particle shards
+        sampler = aps.PGAS(16)
+        key = jax.random.key(7)
+        trajs, lzs = sharded_chains_pg(key, kernel, sampler, mesh, 4, 5)
+        assert trajs.shape == (4, 5, 8)
+        assert lzs.shape == (4, 5)
+        assert bool(jnp.isfinite(lzs).all())
+
+        # determinism
+        trajs2, lzs2 = sharded_chains_pg(key, kernel, sampler, mesh, 4, 5)
+        assert bool((np.asarray(trajs) == np.asarray(trajs2)).all())
+
+        # independence: distinct chains produce distinct trajectories
+        t = np.asarray(trajs)
+        assert not np.allclose(t[0], t[1])
+        assert not np.allclose(t[1], t[2])
+
+        # layout-independence: the single-chip vmap driver draws the same
+        # randomness (fold_in(key, chain) → fold_in(·, iter)); trajectories
+        # agree to reduction-order tolerance.
+        from advancedps_tpu.parallel import sample_chains
+
+        ref = sample_chains(key, kernel.ssm, sampler, 5, 4)
+        assert np.allclose(t, np.asarray(ref.trajectory), atol=1e-4), (
+            np.abs(t - np.asarray(ref.trajectory)).max()
+        )
+
+    def test_chain_counts_validated(self):
+        aps, kernel = self._setup()
+        from advancedps_tpu.parallel import chain_particle_mesh, sharded_chains_pg
+
+        mesh = chain_particle_mesh(2, 4)
+        with pytest.raises(ValueError, match="n_chains"):
+            sharded_chains_pg(jax.random.key(0), kernel, aps.PG(16), mesh, 3, 2)
+        with pytest.raises(ValueError, match="n_particles"):
+            sharded_chains_pg(jax.random.key(0), kernel, aps.PG(18), mesh, 2, 2)
