@@ -99,6 +99,18 @@ class Distribution:
         db = self._broadcast_batch(n)
         return jax.vmap(lambda k, d: d.sample(k))(ks, db)
 
+    def sample_rng(self, rng, draw: int = 0):
+        """Positional batched draw from a :class:`~advancedps_tpu.rng.StepRng`.
+
+        Same positional contract as :meth:`sample_positional` (element ``i``
+        a pure function of ``(rng.key, draw, rng.gids[i])``), but consuming the
+        StepRng's counted-draw methods — which use the half-cost strided
+        Threefry layout when the slice is contiguous (``rng.start`` set).
+        Subclasses with inverse/transform samplers override; this fallback
+        takes the per-id key path.
+        """
+        return self.sample_positional(rng.key, rng.gids)
+
     def _broadcast_batch(self, n):
         """Broadcast every parameter leaf to a leading batch axis of ``n``."""
 
@@ -141,6 +153,9 @@ class Normal(Distribution):
 
         eps = rngmod.pos_normal(key, gids)
         return jnp.asarray(self.loc) + jnp.asarray(self.scale) * eps
+
+    def sample_rng(self, rng, draw: int = 0):
+        return jnp.asarray(self.loc) + jnp.asarray(self.scale) * rng.normal(draw)
 
     def log_prob(self, x):
         scale = jnp.asarray(self.scale)
@@ -233,6 +248,11 @@ class Bernoulli(Distribution):
 
         u = rngmod.pos_uniform(key, gids)
         return (u < jnp.asarray(self.p)).astype(jnp.result_type(float))
+
+    def sample_rng(self, rng, draw: int = 0):
+        return (rng.uniform(draw) < jnp.asarray(self.p)).astype(
+            jnp.result_type(float)
+        )
 
     def log_prob(self, x):
         p = jnp.asarray(self.p, dtype=jnp.result_type(float))
@@ -337,6 +357,11 @@ class Uniform(Distribution):
             jnp.asarray(self.high) - jnp.asarray(self.low)
         )
 
+    def sample_rng(self, rng, draw: int = 0):
+        return jnp.asarray(self.low) + rng.uniform(draw) * (
+            jnp.asarray(self.high) - jnp.asarray(self.low)
+        )
+
     def log_prob(self, x):
         low = jnp.asarray(self.low, dtype=jnp.result_type(float))
         high = jnp.asarray(self.high, dtype=jnp.result_type(float))
@@ -369,6 +394,9 @@ class Exponential(Distribution):
 
         u = rngmod.pos_uniform(key, gids)
         return -jnp.log1p(-u) * jnp.asarray(self.scale)
+
+    def sample_rng(self, rng, draw: int = 0):
+        return -jnp.log1p(-rng.uniform(draw)) * jnp.asarray(self.scale)
 
     def log_prob(self, x):
         s = jnp.asarray(self.scale, dtype=jnp.result_type(float))
@@ -444,6 +472,9 @@ class LogNormal(Distribution):
 
     def sample_positional(self, key, gids):
         return jnp.exp(Normal(self.loc, self.scale).sample_positional(key, gids))
+
+    def sample_rng(self, rng, draw: int = 0):
+        return jnp.exp(Normal(self.loc, self.scale).sample_rng(rng, draw))
 
     def log_prob(self, x):
         x = jnp.asarray(x)

@@ -50,7 +50,7 @@ from jax import lax
 from . import rng as rngmod
 from .resampling import (
     ResampleWithESSThreshold,
-    randcat,
+    randcat_gumbel,
     resample_systematic,
 )
 from .utils.trees import pytree_dataclass, static_field
@@ -184,7 +184,9 @@ def sweep(
     # --- t = 0: sample initial states, weight with y_0.  The reference's leading
     # resample_propagate! acts on weightless fresh particles (uniform weights, no
     # state), so it is a statistical no-op; we skip it (call stack SURVEY.md §3.1).
-    rng0 = rngmod.StepRng(key=rngmod.step_key(key, rngmod.INIT, 0), gids=gids)
+    rng0 = rngmod.StepRng(
+        key=rngmod.step_key(key, rngmod.INIT, 0), gids=gids, start=0
+    )
     state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
 
     snap0 = kernel.snapshot(state)
@@ -244,12 +246,13 @@ def sweep(
                 if ancestor_sampling:
                     # PGAS: w_i^anc = logW_i + log f_t(ref_t | state_i)
                     # (reference math /root/reference/src/pgas.jl:39-46,113-128).
+                    # Gumbel-max draw: no softmax, no cumsum — one elementwise
+                    # pass + argmax (randcat's CDF inversion costs a log-depth
+                    # prefix scan per step at N ~ 1e6).
                     ref_t = _ref_slice(ref, t)
                     anc_logw = logw + kernel.transition_logprob(t, state, ref_t)
                     anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
-                    ref_anc = randcat(
-                        anc_key, jax.nn.softmax(anc_logw)
-                    ).astype(jnp.int32)
+                    ref_anc = randcat_gumbel(anc_key, anc_logw, gids)
                 return ref_anc
 
             if use_fused:
@@ -294,7 +297,7 @@ def sweep(
         # (reference hot loop /root/reference/src/container.jl:259-302 +
         # /root/reference/src/pgas.jl:53-89, now one vectorised op).
         rng_t = rngmod.StepRng(
-            key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids
+            key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids, start=0
         )
         with jax.named_scope("aps_propagate_score"):
             state_new, score = kernel.step(
@@ -364,11 +367,20 @@ def reconstruct(states: Any, ancestors: jax.Array, index) -> Any:
     trajectories ``[T, N, ...]`` (what the reference's ``SMCSample.trajectories``
     materialises via per-particle ``X`` vectors).
     """
-    lin = lineages(ancestors)  # [T, N]
     T = ancestors.shape[0]
     if index is None:
+        lin = lineages(ancestors)  # [T, N]
         gather = lambda s: s[jnp.arange(T)[:, None], lin]
-    else:
-        idx_t = lin[:, index]  # [T]
-        gather = lambda s: s[jnp.arange(T), idx_t]
+        return jax.tree_util.tree_map(gather, states)
+    # Scalar index: backward walk carrying ONE slot id — O(T) scalar
+    # dynamic-slices instead of the [T, N] lineage matrix (T full-population
+    # gathers), which matters at N ~ 1e6 where each gather costs milliseconds.
+    idx = jnp.asarray(index, ancestors.dtype)
+
+    def back(i, anc_next):
+        return anc_next[i], i
+
+    first, rest = lax.scan(back, idx, ancestors[1:], reverse=True)
+    idx_t = jnp.concatenate([first[None], rest])  # [T]
+    gather = lambda s: s[jnp.arange(T), idx_t]
     return jax.tree_util.tree_map(gather, states)

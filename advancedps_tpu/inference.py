@@ -23,7 +23,7 @@ from . import rng as rngmod
 from .engine import reconstruct, sweep
 from .generic import GenericModel, GenericSSMKernel
 from .pg import PG, PGAS, PGSample, PGState
-from .resampling import randcat
+from .resampling import randcat_gumbel
 from .smc import SMC, SMCSample, SSMKernel
 from .ssm import TracedSSM
 
@@ -100,9 +100,10 @@ def step_pg(
         ancestor_sampling=sampler.ancestor_sampling and ref is not None,
     )
     # Retained-trajectory draw ∝ final weights (reference
-    # ``rand(particles.rng, particles)``, /root/reference/src/container.jl:33-36).
+    # ``rand(particles.rng, particles)``, /root/reference/src/container.jl:33-36);
+    # Gumbel-max form — no softmax/cumsum pass over [N].
     draw_key = rngmod.step_key(key, rngmod.DRAW, 0)
-    idx = randcat(draw_key, jax.nn.softmax(res.log_weights))
+    idx = randcat_gumbel(draw_key, res.log_weights)
     traj = reconstruct(res.states, res.ancestors, idx)
     return PGSample(trajectory=traj, log_evidence=res.log_evidence), PGState(
         trajectory=traj

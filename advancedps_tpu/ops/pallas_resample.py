@@ -334,6 +334,181 @@ def _resample_move_cols(
     return anc, tuple(o[:n_out] for o in outs[1:])
 
 
+# ---------------------------------------------------------------------------
+# v2: windowed owner-index decode + move
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel above compares every overlapping 512-row input sub-slice against
+# ALL 1024 slots of the output block — O(N·W) dense work (~3.8 ms per 1M-particle
+# decode+move on v5e, the dominant cost of a triggered resampling step).  But a
+# 128-row sub-slice of the (sorted) extents owns only the slot range
+# ``[f_prev, f_last)`` — about 128 slots when offspring counts are near 1.  v2
+# therefore walks the input in 128-row sub-slices and compares each ONLY against
+# the 128-slot output tiles its rows actually own (usually 1-2 tiles), cutting
+# the compare volume by ~W/128 = 8×.
+#
+# Owner-index formulation (replaces v1's cumulative-count decode): with
+# ``cle_{j,k} = (f_j ≤ k)`` the owner mask telescopes per row,
+# ``own_{j,k} = cle_{j-1,k} − cle_{j,k} ∈ {0,1}``, and
+#
+#   anc[k] = Σ_j own_{j,k} · j        (the owner's row index — exact int sum)
+#   out[k] = Σ_j own_{j,k} · v_j      (exactly one nonzero term ⇒ exact copy)
+#
+# Unlike v1's count form, every term is local to the owning sub-slice, so
+# windowed accumulation needs no cross-window bookkeeping.  The output block is
+# shaped (8, 128) — one native f32 tile — and a sub-slice's contribution lands
+# in output rows ``t0..t1`` via dynamic-sublane read-modify-writes.
+#
+# Walk state per grid step (sequential) in SMEM: the sub-slice pointer and the
+# previous sub-slice's last extent (seeds the telescope).  A sub-slice whose
+# last extent exceeds the block end is left for the next block (same carries);
+# sentinel-padded rows (extent 2^30) stop every walk and own all output slots
+# past the population, which the callers slice off or overwrite.
+
+_V2_R = 128  # rows per input sub-slice == slots per output tile (lane width)
+
+
+def _make_move_kernel_v2(n_cols: int):
+    """Kernel over ``win, f2, v2_0 … v2_{n_cols-1}`` → ``anc2, out2_0 …``.
+
+    2-D layouts: ``f2``/``v2_c`` are ``[M_pad/128, 128]`` (row ``s`` = input
+    sub-slice ``s``); outputs are ``[n_pad/128, 128]`` written one ``(8, 128)``
+    block per grid step.  ``win`` (SMEM int32[2]) = (output-window start,
+    initial sub-slice pointer).
+    """
+
+    def kernel(*refs):
+        win_ref = refs[0]
+        f_ref = refs[1]
+        v_refs = refs[2 : 2 + n_cols]
+        anc_ref = refs[2 + n_cols]
+        out_refs = refs[3 + n_cols : 3 + 2 * n_cols]
+        carry_ref = refs[-1]
+
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[0] = win_ref[1]  # sub-slice pointer
+            carry_ref[1] = 0  # previous sub-slice's last extent
+
+        base = win_ref[0] + b * (8 * _V2_R)
+        block_end = base + 8 * _V2_R - 1
+        num_sub = f_ref.shape[0]
+
+        anc_ref[...] = jnp.zeros((8, _V2_R), jnp.int32)
+        for o in out_refs:
+            o[...] = jnp.zeros((8, _V2_R), jnp.float32)
+
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (_V2_R, 1), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _V2_R), 1)
+
+        def cond(c):
+            return jnp.logical_not(c[-1])
+
+        def body(c):
+            sptr, prev_f, _ = c
+            fs = f_ref[pl.ds(sptr, 1), :]  # (1, 128)
+            sub_last = jnp.max(fs)
+            live = sub_last > base
+
+            @pl.when(live)
+            def _():
+                fs_col = fs.reshape(_V2_R, 1)
+                rolled = pltpu.roll(fs_col, shift=1, axis=0)
+                prev_col = jnp.where(row_iota == 0, prev_f, rolled)
+                vals = [
+                    v_ref[pl.ds(sptr, 1), :].reshape(_V2_R, 1)
+                    for v_ref in v_refs
+                ]
+                rowid_col = sptr * _V2_R + row_iota  # (128, 1)
+                lo = jnp.maximum(prev_f, base)
+                hi = jnp.minimum(sub_last - 1, block_end)  # last owned slot
+                t0 = (lo - base) // _V2_R
+                t1 = (hi - base) // _V2_R  # inclusive
+
+                def tile_body(cidx, _):
+                    pos = base + cidx * _V2_R + lane_iota  # (1, 128)
+                    cle = (fs_col <= pos).astype(jnp.int32)  # (128, 128)
+                    pcle = (prev_col <= pos).astype(jnp.int32)
+                    own = pcle - cle  # {0,1}, ≤ one 1 per column
+                    anc_c = jnp.sum(own * rowid_col, axis=0, keepdims=True)
+                    anc_ref[pl.ds(cidx, 1), :] += anc_c
+                    ownf = own.astype(jnp.float32)
+                    for o, v in zip(out_refs, vals):
+                        o[pl.ds(cidx, 1), :] += jnp.sum(
+                            ownf * v, axis=0, keepdims=True
+                        )
+                    return 0
+
+                jax.lax.fori_loop(t0, t1 + 1, tile_body, 0)
+
+            beyond = sub_last > block_end
+            stop = beyond | (sptr + 1 >= num_sub)
+            adv = jnp.logical_not(beyond)
+            sptr_n = jnp.where(adv, jnp.minimum(sptr + 1, num_sub - 1), sptr)
+            prev_n = jnp.where(adv, sub_last, prev_f)
+            return sptr_n, prev_n, stop
+
+        sptr, prev_f, _ = jax.lax.while_loop(
+            cond, body, (carry_ref[0], carry_ref[1], jnp.asarray(False))
+        )
+        carry_ref[0] = sptr
+        carry_ref[1] = prev_f
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
+def _resample_move_cols_v2(f, cols, n, start=None, n_out=None, interpret=False):
+    """v2 fused decode+move (see block comment above): same contract as
+    :func:`_resample_move_cols` — identical ``anc``/moved values for identical
+    inputs — at ~1/8 the compare volume."""
+    m = f.shape[0]
+    windowed = n_out is not None
+    if not windowed:
+        n_out = n
+    pad_in = (-m) % _V2_R
+    n_pad = -(-n_out // (8 * _V2_R)) * (8 * _V2_R)
+    sentinel = jnp.int32(1 << 30)
+    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
+    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
+    f2 = f_p.reshape(-1, _V2_R)
+    vs = []
+    for c in cols:
+        v = c.astype(jnp.float32)
+        if pad_in:
+            v = jnp.concatenate([v, jnp.zeros((pad_in,), jnp.float32)])
+        vs.append(v.reshape(-1, _V2_R))
+
+    if windowed:
+        start = jnp.asarray(start, jnp.int32)
+        # First sub-slice holding a row with f > start; earlier rows are
+        # consumed for every slot of the window.
+        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
+        win = jnp.stack([start, j0 // _V2_R])
+    else:
+        win = jnp.zeros((2,), jnp.int32)
+
+    n_cols = len(vs)
+    outs = pl.pallas_call(
+        _make_move_kernel_v2(n_cols),
+        grid=(n_pad // (8 * _V2_R),),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
+        out_specs=[
+            pl.BlockSpec((8, _V2_R), lambda b: (b, 0), memory_space=pltpu.VMEM)
+        ]
+        * (1 + n_cols),
+        out_shape=[jax.ShapeDtypeStruct((n_pad // _V2_R, _V2_R), jnp.int32)]
+        + [jax.ShapeDtypeStruct((n_pad // _V2_R, _V2_R), jnp.float32)] * n_cols,
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        interpret=interpret,
+    )(win, f2, *vs)
+    anc = outs[0].reshape(-1)[:n_out]
+    return anc, tuple(o.reshape(-1)[:n_out] for o in outs[1:])
+
+
 # VMEM budget: f and the D state columns (plus the [_MS, _MW] mask temporaries)
 # must fit on-chip; cap total input elements under the ~16 MB VMEM of a v5e core.
 _MOVE_MAX_ELEMS = 3_000_000  # f32 elements across f + state columns

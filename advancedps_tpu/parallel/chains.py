@@ -24,7 +24,7 @@ from .. import rng as rngmod
 from ..engine import _ref_slice, lineages
 from ..inference import sample_pg, sample_smc
 from ..pg import PG
-from ..resampling import randcat
+from ..resampling import randcat_gumbel
 from ..smc import SMC
 from .mesh import CHAIN_AXIS, PARTICLE_AXIS
 from .sharded import _step_rng, sweep_shard_body
@@ -112,7 +112,7 @@ def sharded_chains_pg(
         ref_mask = (gids == (n - 1)) if has_ref else None
 
         # t = 0 snapshot (recomputed — deterministic in it_key).
-        rng0 = _step_rng(it_key, rngmod.INIT, 0, gids)
+        rng0 = _step_rng(it_key, rngmod.INIT, 0, gids, start=gids[0])
         st0, _ = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
         states = jax.tree_util.tree_map(
             lambda s0, ss: jnp.concatenate([s0[None], ss], axis=0),
@@ -126,7 +126,7 @@ def sharded_chains_pg(
         logw_all = lax.all_gather(logw, axis, tiled=True)
         anc_all = lax.all_gather(ancs, axis, tiled=True, axis=1)
         draw_key = rngmod.step_key(it_key, rngmod.DRAW, 0)
-        idx = randcat(draw_key, jax.nn.softmax(logw_all))
+        idx = randcat_gumbel(draw_key, logw_all)
 
         # Reconstruct through the genealogy: local one-hot contraction + psum
         # over the particle axis (no cross-shard dynamic gather).

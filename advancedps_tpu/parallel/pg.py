@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import rng as rngmod
 from ..engine import lineages
 from ..pg import PG, PGSample, PGState
-from ..resampling import randcat
+from ..resampling import randcat_gumbel
 from .mesh import PARTICLE_AXIS
 from .sharded import sharded_sweep
 
@@ -77,7 +77,7 @@ def sharded_step_pg(
     logw = jax.sharding.reshard(res.log_weights, rep)
     ancestors = jax.sharding.reshard(res.ancestors, rep)
     draw_key = rngmod.step_key(key, rngmod.DRAW, 0)
-    idx = randcat(draw_key, jax.nn.softmax(logw))
+    idx = randcat_gumbel(draw_key, logw)
     traj = reconstruct_one_sharded(res.states, ancestors, idx)
     traj = jax.sharding.reshard(traj, NamedSharding(mesh, P()))
     return PGSample(trajectory=traj, log_evidence=res.log_evidence), PGState(

@@ -49,7 +49,6 @@ from .. import rng as rngmod
 from ..engine import SweepResult, _ref_slice
 from ..resampling import (
     ResampleWithESSThreshold,
-    randcat,
     resample_systematic,
 )
 from .mesh import PARTICLE_AXIS
@@ -62,8 +61,8 @@ except Exception:  # pragma: no cover
 __all__ = ["sharded_sweep", "sweep_shard_body"]
 
 
-def _step_rng(key, tag, t, gids):
-    return rngmod.StepRng(key=rngmod.step_key(key, tag, t), gids=gids)
+def _step_rng(key, tag, t, gids, start=None):
+    return rngmod.StepRng(key=rngmod.step_key(key, tag, t), gids=gids, start=start)
 
 
 def sweep_shard_body(
@@ -102,7 +101,7 @@ def sweep_shard_body(
             )
 
         # ---- t = 0
-        rng0 = _step_rng(key, rngmod.INIT, 0, gids)
+        rng0 = _step_rng(key, rngmod.INIT, 0, gids, start=k_idx * L)
         state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
         ln_n = jnp.log(jnp.asarray(float(n)))
 
@@ -128,16 +127,24 @@ def sweep_shard_body(
             def draw_ref_anc(state, logw):
                 ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
                 if ancestor_sampling:
-                    # PGAS ancestor draw: distributed logsumexp over
-                    # logW_i + log f_t(ref_t | state_i) (SURVEY.md §5.8(d)).
+                    # PGAS ancestor draw, Gumbel-max form (SURVEY.md §5.8(d)):
+                    # per-element Gumbels are positional in the global id, so a
+                    # local argmax + two scalar collectives replaces the O(N)
+                    # weight all_gather + CDF inversion, and the drawn index is
+                    # bit-identical to the single-chip engine's (argmax ties
+                    # break to the smallest global id on both paths).
                     ref_t = _ref_slice(ref, t)
                     alw = logw + kernel.transition_logprob(t, state, ref_t)
-                    am = lax.pmax(jnp.max(alw), axis)
-                    ae = jnp.exp(alw - am)
-                    as1 = lax.psum(jnp.sum(ae), axis)
-                    aw_all = lax.all_gather(ae, axis, tiled=True) / as1
                     anc_key = rngmod.step_key(key, rngmod.ANCESTOR, t)
-                    ref_anc = randcat(anc_key, aw_all).astype(jnp.int32)
+                    u = rngmod.pos_uniform(anc_key, gids)
+                    z = alw - jnp.log(-jnp.log(u))
+                    li = jnp.argmax(z)
+                    lmax = z[li]
+                    vmax = lax.pmax(lmax, axis)
+                    cand = jnp.where(
+                        lmax == vmax, gids[li].astype(jnp.int32), jnp.int32(n)
+                    )
+                    ref_anc = lax.pmin(cand, axis).astype(jnp.int32)
                 return ref_anc
 
             def resample_branch(operand):
@@ -201,7 +208,7 @@ def sweep_shard_body(
             )
             pending_new = jnp.where(do_rs, ln_n, lse)
 
-            rng_t = _step_rng(key, rngmod.PROPAGATE, t, gids)
+            rng_t = _step_rng(key, rngmod.PROPAGATE, t, gids, start=k_idx * L)
             state_new, score = kernel.step(
                 t, rng_t, state_rs, _ref_slice(ref, t), ref_mask
             )
@@ -321,7 +328,7 @@ def _initial_snapshot(key, kernel, n, mesh, ref, axis):
         k_idx = lax.axis_index(axis)
         gids = k_idx * L + jnp.arange(L)
         ref_mask = (gids == (n - 1)) if has_ref else None
-        rng0 = _step_rng(key, rngmod.INIT, 0, gids)
+        rng0 = _step_rng(key, rngmod.INIT, 0, gids, start=k_idx * L)
         state, _ = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
         return kernel.snapshot(state)
 

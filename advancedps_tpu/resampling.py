@@ -24,6 +24,7 @@ from .utils.trees import pytree_dataclass, static_field
 
 __all__ = [
     "randcat",
+    "randcat_gumbel",
     "resample_systematic",
     "resample_stratified",
     "resample_multinomial",
@@ -53,6 +54,30 @@ def randcat(key: jax.Array, weights: jax.Array) -> jax.Array:
     ``/root/reference/src/resampling.jl:11-21``)."""
     u = jax.random.uniform(key, dtype=weights.dtype)
     return _inverse_cdf(weights, u)
+
+
+def randcat_gumbel(key: jax.Array, log_weights: jax.Array, gids=None) -> jax.Array:
+    """One categorical draw ∝ ``exp(log_weights)`` by the Gumbel-max trick.
+
+    Same distribution as :func:`randcat` ∘ softmax, but with no normalisation
+    and no prefix scan: one positional-uniform pass, one Gumbel transform, one
+    argmax.  On TPU at N ~ 1e6 this replaces a softmax (3 passes) + ``cumsum``
+    (log-depth passes) with a single fused elementwise+reduce — the fast form
+    for the per-step PGAS ancestor draw.  The per-element Gumbel is a pure
+    function of ``(key, gids[i])`` (see :mod:`advancedps_tpu.rng`), and argmax
+    tie-breaking is first-occurrence, so the draw is bit-identical between
+    single-chip and sharded layouts (the sharded form is a local argmax plus
+    two scalar collectives — see ``parallel/sharded.py``).
+    """
+    from . import rng as rngmod
+
+    if gids is None:
+        gids = jnp.arange(log_weights.shape[0])
+    u = rngmod.pos_uniform(key, gids)
+    # u = 0 (prob 2^-24 per element) ⇒ gumbel = -inf ⇒ that slot is excluded
+    # from this draw — a O(2^-24) total-variation perturbation, harmless.
+    z = log_weights - jnp.log(-jnp.log(u))
+    return jnp.argmax(z).astype(jnp.int32)
 
 
 def _systematic_searchsorted(u, weights, n):

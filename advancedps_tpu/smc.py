@@ -70,7 +70,7 @@ class SSMKernel(SweepKernel):
             # One batched counter pass, element i a pure function of
             # (key, gids[i]) — bit-exact across sharding layouts and
             # recomputable per-particle for O(T) trajectory replay.
-            x0 = prior.distribution().sample_positional(rng.key, rng.gids)
+            x0 = prior.distribution().sample_rng(rng)
         else:
             x0 = jax.vmap(lambda k: prior.sample(k))(rng.particle_keys())
         x0 = inject_ref(ref_mask, ref0, x0)
@@ -90,10 +90,9 @@ class SSMKernel(SweepKernel):
             x_prev = state
             if dyn.vectorized:
                 # distribution(t, x_batch) broadcasts ⇒ one positional batched
-                # sample (counter = global particle id; layout-independent).
-                x_new = dyn.distribution(t, x_prev).sample_positional(
-                    rng.key, rng.gids
-                )
+                # sample (paired counter = global particle id pair;
+                # layout-independent, half-cost when the slice is contiguous).
+                x_new = dyn.distribution(t, x_prev).sample_rng(rng)
             else:
                 x_new = jax.vmap(lambda k, x: dyn.sample(k, t, x))(
                     rng.particle_keys(), x_prev
