@@ -103,11 +103,9 @@ class Distribution:
         """Positional batched draw from a :class:`~advancedps_tpu.rng.StepRng`.
 
         Same positional contract as :meth:`sample_positional` (element ``i``
-        a pure function of ``(rng.key, draw, rng.gids[i])``), but consuming the
-        StepRng's counted-draw methods — which use the half-cost strided
-        Threefry layout when the slice is contiguous (``rng.start`` set).
-        Subclasses with inverse/transform samplers override; this fallback
-        takes the per-id key path.
+        a pure function of ``(rng.key, draw, rng.gids[i])``), consuming the
+        StepRng's counted-draw methods.  Subclasses with inverse/transform
+        samplers override; this fallback takes the per-id key path.
         """
         return self.sample_positional(rng.key, rng.gids)
 

@@ -184,9 +184,7 @@ def sweep(
     # --- t = 0: sample initial states, weight with y_0.  The reference's leading
     # resample_propagate! acts on weightless fresh particles (uniform weights, no
     # state), so it is a statistical no-op; we skip it (call stack SURVEY.md §3.1).
-    rng0 = rngmod.StepRng(
-        key=rngmod.step_key(key, rngmod.INIT, 0), gids=gids, start=0
-    )
+    rng0 = rngmod.StepRng(key=rngmod.step_key(key, rngmod.INIT, 0), gids=gids)
     state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
 
     snap0 = kernel.snapshot(state)
@@ -297,7 +295,7 @@ def sweep(
         # (reference hot loop /root/reference/src/container.jl:259-302 +
         # /root/reference/src/pgas.jl:53-89, now one vectorised op).
         rng_t = rngmod.StepRng(
-            key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids, start=0
+            key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids
         )
         with jax.named_scope("aps_propagate_score"):
             state_new, score = kernel.step(

@@ -112,7 +112,7 @@ def sharded_chains_pg(
         ref_mask = (gids == (n - 1)) if has_ref else None
 
         # t = 0 snapshot (recomputed — deterministic in it_key).
-        rng0 = _step_rng(it_key, rngmod.INIT, 0, gids, start=gids[0])
+        rng0 = _step_rng(it_key, rngmod.INIT, 0, gids)
         st0, _ = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
         states = jax.tree_util.tree_map(
             lambda s0, ss: jnp.concatenate([s0[None], ss], axis=0),

@@ -61,8 +61,8 @@ except Exception:  # pragma: no cover
 __all__ = ["sharded_sweep", "sweep_shard_body"]
 
 
-def _step_rng(key, tag, t, gids, start=None):
-    return rngmod.StepRng(key=rngmod.step_key(key, tag, t), gids=gids, start=start)
+def _step_rng(key, tag, t, gids):
+    return rngmod.StepRng(key=rngmod.step_key(key, tag, t), gids=gids)
 
 
 def sweep_shard_body(
@@ -101,7 +101,7 @@ def sweep_shard_body(
             )
 
         # ---- t = 0
-        rng0 = _step_rng(key, rngmod.INIT, 0, gids, start=k_idx * L)
+        rng0 = _step_rng(key, rngmod.INIT, 0, gids)
         state, logw = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
         ln_n = jnp.log(jnp.asarray(float(n)))
 
@@ -208,7 +208,7 @@ def sweep_shard_body(
             )
             pending_new = jnp.where(do_rs, ln_n, lse)
 
-            rng_t = _step_rng(key, rngmod.PROPAGATE, t, gids, start=k_idx * L)
+            rng_t = _step_rng(key, rngmod.PROPAGATE, t, gids)
             state_new, score = kernel.step(
                 t, rng_t, state_rs, _ref_slice(ref, t), ref_mask
             )
@@ -328,7 +328,7 @@ def _initial_snapshot(key, kernel, n, mesh, ref, axis):
         k_idx = lax.axis_index(axis)
         gids = k_idx * L + jnp.arange(L)
         ref_mask = (gids == (n - 1)) if has_ref else None
-        rng0 = _step_rng(key, rngmod.INIT, 0, gids, start=k_idx * L)
+        rng0 = _step_rng(key, rngmod.INIT, 0, gids)
         state, _ = kernel.init(rng0, _ref_slice(ref, 0), ref_mask)
         return kernel.snapshot(state)
 

@@ -23,8 +23,6 @@ family the reference uses (``/root/reference/src/rng.jl:2``).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
@@ -40,9 +38,7 @@ __all__ = [
     "threefry2x32",
     "pos_uniform_pair",
     "pos_uniform",
-    "pos_uniform_block",
     "pos_normal",
-    "pos_normal_block",
     "pos_normals",
 ]
 
@@ -162,46 +158,21 @@ def pos_normal(key: jax.Array, gids, draw: int = 0):
     """One N(0,1) draw per global id — **paired counter layout**.
 
     Ids ``2p`` and ``2p+1`` share ONE Threefry block (counter ``p``) and take
-    the two Box–Muller outputs, so a contiguous batch costs half the cipher +
-    log/sqrt work of a block-per-id layout (see :func:`pos_normal_block` for
-    the strided batch form that realises the saving).  Box–Muller pairs are
-    exactly independent, and element ``i`` remains a pure function of
-    ``(key, draw, gids[i])``.  Do not mix with :func:`pos_normals` at the same
-    ``(key, draw)`` — the pair blocks overlap across the two layouts.
+    the two Box–Muller outputs.  Box–Muller pairs are exactly independent, and
+    element ``i`` remains a pure function of ``(key, draw, gids[i])``.  Do not
+    mix with :func:`pos_normals` at the same ``(key, draw)`` — the pair blocks
+    overlap across the two layouts.
+
+    Note: a "half-cost" strided batch form (one cipher + Box–Muller per two
+    ids, interleave + slice) was tried and REMOVED — the traced-offset
+    ``dynamic_slice`` + stack/reshape interleave broke XLA fusion and measured
+    17× *slower* than this fully-fused per-id form at N=1M on v5e
+    (1188 µs/step vs 68 µs/step; see VERDICT round 2).  The cipher is not the
+    bottleneck; fusion is.
     """
     g = jnp.asarray(gids)
     z0, z1 = pos_normal_pair(key, g >> 1, draw)
     return jnp.where((g & 1) == 0, z0, z1)
-
-
-def pos_normal_block(key: jax.Array, start, n: int, draw: int = 0):
-    """``[n]`` N(0,1) draws for global ids ``start .. start+n-1``, bit-identical
-    to ``pos_normal(key, start + arange(n), draw)`` at half the cost: one
-    Threefry block + one Box–Muller per TWO ids (the engine fast path —
-    ``start`` may be traced, e.g. ``axis_index * shard_len``)."""
-    start = jnp.asarray(start).astype(jnp.uint32)
-    p0 = start >> jnp.uint32(1)
-    npairs = n // 2 + 1
-    z0, z1 = pos_normal_pair(
-        key, p0 + jnp.arange(npairs, dtype=jnp.uint32), draw
-    )
-    inter = jnp.stack([z0, z1], axis=-1).reshape(-1)  # [2*npairs]
-    off = (start & jnp.uint32(1)).astype(jnp.int32)
-    return jax.lax.dynamic_slice(inter, (off,), (n,))
-
-
-def pos_uniform_block(key: jax.Array, start, n: int, draw: int = 0):
-    """``[n]`` U[0,1) draws for ids ``start .. start+n-1`` in the paired layout
-    of :func:`pos_uniform` — one Threefry block per TWO ids."""
-    start = jnp.asarray(start).astype(jnp.uint32)
-    p0 = start >> jnp.uint32(1)
-    npairs = n // 2 + 1
-    u0, u1 = pos_uniform_pair(
-        key, p0 + jnp.arange(npairs, dtype=jnp.uint32), draw
-    )
-    inter = jnp.stack([u0, u1], axis=-1).reshape(-1)
-    off = (start & jnp.uint32(1)).astype(jnp.int32)
-    return jax.lax.dynamic_slice(inter, (off,), (n,))
 
 
 def pos_normals(key: jax.Array, gids, d: int, draw0: int = 0):
@@ -252,21 +223,14 @@ class StepRng:
 
     key: jax.Array
     gids: jax.Array
-    #: global id of ``gids[0]`` when the slice is contiguous (``gids = start +
-    #: arange(n)``) — enables the half-cost strided draws; ``None`` disables.
-    start: Any = None
 
     def particle_keys(self) -> jax.Array:
         return jax.vmap(lambda i: jax.random.fold_in(self.key, i))(self.gids)
 
     def uniform(self, draw: int = 0) -> jax.Array:
-        if self.start is not None:
-            return pos_uniform_block(self.key, self.start, self.n, draw)
         return pos_uniform(self.key, self.gids, draw)
 
     def normal(self, draw: int = 0) -> jax.Array:
-        if self.start is not None:
-            return pos_normal_block(self.key, self.start, self.n, draw)
         return pos_normal(self.key, self.gids, draw)
 
     def normal_pair(self, draw: int = 0):

@@ -100,28 +100,17 @@ def test_positional_streams_disjoint():
     assert not bool(jnp.any(a == c))
 
 
-def test_strided_block_draws_match_per_gid():
-    # The half-cost strided layout (one Threefry block per TWO ids) must be
-    # bit-identical to the per-gid paired definition for any start parity.
-    k = jax.random.key(3)
-    for start, n in [(0, 64), (7, 33), (1, 2), (100, 1)]:
-        gids = start + jnp.arange(n)
-        np.testing.assert_array_equal(
-            np.asarray(rngmod.pos_normal_block(k, start, n)),
-            np.asarray(rngmod.pos_normal(k, gids)),
-        )
-        np.testing.assert_array_equal(
-            np.asarray(rngmod.pos_uniform_block(k, start, n)),
-            np.asarray(rngmod.pos_uniform(k, gids)),
-        )
-
-
-def test_steprng_strided_matches_gids_path():
+def test_steprng_offset_gids_match_flat_positional():
+    # StepRng draws depend only on the global ids, not on where the slice
+    # starts — the invariant that makes sharded sweeps bit-identical.
     k = jax.random.key(5)
-    a = rngmod.StepRng(key=k, gids=jnp.arange(8, 24), start=8)
-    b = rngmod.StepRng(key=k, gids=jnp.arange(8, 24))
-    np.testing.assert_array_equal(np.asarray(a.normal()), np.asarray(b.normal()))
-    np.testing.assert_array_equal(np.asarray(a.uniform()), np.asarray(b.uniform()))
+    a = rngmod.StepRng(key=k, gids=jnp.arange(8, 24))
+    np.testing.assert_array_equal(
+        np.asarray(a.normal()), np.asarray(rngmod.pos_normal(k, jnp.arange(8, 24)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.uniform()), np.asarray(rngmod.pos_uniform(k, jnp.arange(8, 24)))
+    )
 
 
 def test_distribution_sample_positional_matches_formula():
