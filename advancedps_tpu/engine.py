@@ -55,7 +55,24 @@ from .resampling import (
 )
 from .utils.trees import pytree_dataclass, static_field
 
-__all__ = ["SweepKernel", "SweepResult", "sweep", "lineages", "reconstruct"]
+__all__ = [
+    "SweepKernel",
+    "SweepResult",
+    "sweep",
+    "lineages",
+    "reconstruct",
+    "replay_trajectory",
+    "propagate_rng",
+]
+
+
+def propagate_rng(key, t, gids):
+    """The :class:`~advancedps_tpu.rng.StepRng` for the propagate stream at
+    step ``t`` — EXACTLY as the sweep body constructs it.  Profilers must call
+    this instead of building their own (a round-2 regression shipped because a
+    micro-benchmark profiled a differently-constructed StepRng; see
+    profiling/profile_sweep.py)."""
+    return rngmod.StepRng(key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids)
 
 try:  # Pallas TPU fast path for resample+move (optional: needs pallas)
     from .ops import pallas_resample as _pallas_move
@@ -294,9 +311,7 @@ def sweep(
         # ---- propagate + score: the fused hot kernel
         # (reference hot loop /root/reference/src/container.jl:259-302 +
         # /root/reference/src/pgas.jl:53-89, now one vectorised op).
-        rng_t = rngmod.StepRng(
-            key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids
-        )
+        rng_t = propagate_rng(key, t, gids)
         with jax.named_scope("aps_propagate_score"):
             state_new, score = kernel.step(
                 t, rng_t, state_rs, _ref_slice(ref, t), ref_mask
@@ -356,6 +371,69 @@ def lineages(ancestors: jax.Array) -> jax.Array:
 
     first, rest = lax.scan(back, idx_final, ancestors[1:], reverse=True)
     return jnp.concatenate([first[None], rest], axis=0)
+
+
+def replay_trajectory(key, kernel, ancestors, index, ref=None):
+    """Retained trajectory WITHOUT stored states — genealogy compaction.
+
+    The dense sweep stores per-step snapshots ``[T, N, D]``; at N ~ 1e6 with
+    vector states that walls HBM (SURVEY.md §7 hard part (d); the dense
+    analogue of the reference's don't-store-Nx·T concern,
+    ``/root/reference/src/container.jl:220-221``).  Because ALL sweep
+    randomness is positional — a pure function of ``(sweep key, stream, step,
+    global particle id)`` (rng.py) — a single trajectory can be *re-sampled*
+    exactly from the genealogy alone: backward-walk ``ancestors`` to the slot
+    ``s_t`` the retained particle occupied at each step, then re-run the
+    kernel forward with one-particle slices whose gid is ``s_t``.  This is the
+    TPU-native form of the reference's seed-tree replay
+    (``/root/reference/src/rng.jl:49-53``): O(T) work and O(T·D) memory, no
+    ``[T, N, D]`` storage.
+
+    Exactness: the replay consumes the identical positional counters, so the
+    genealogy, every ancestor draw and every retained-index draw are identical
+    to the dense path; the replayed *states* agree to XLA float-op-reordering
+    tolerance (~1 ulp per op — the one-particle program fuses mul/add into
+    FMAs differently than the N-particle program), pinned by
+    tests/test_pg_pgas.py.
+
+    ``key`` must be the same key given to :func:`sweep`; ``ancestors`` is the
+    sweep's ``[T, N]`` trace; ``index`` the retained final slot; ``ref`` the
+    same reference trajectory (so reference-slot reads replay correctly).
+    """
+    T, n = ancestors.shape
+    has_ref = ref is not None
+
+    # Backward walk: slots[t] = slot of the retained lineage at step t.
+    idx = jnp.asarray(index, ancestors.dtype)
+
+    def back(i, anc_next):
+        return anc_next[i], i
+
+    first, rest = lax.scan(back, idx, ancestors[1:], reverse=True)
+    slots = jnp.concatenate([first[None], rest])  # [T]
+
+    def mask_of(gids):
+        return (gids == (n - 1)) if has_ref else None
+
+    g0 = slots[0][None]
+    rng0 = rngmod.StepRng(key=rngmod.step_key(key, rngmod.INIT, 0), gids=g0)
+    state, _ = kernel.init(rng0, _ref_slice(ref, 0), mask_of(g0))
+    snap0 = kernel.snapshot(state)
+    if snap0 is None:
+        raise ValueError("replay requires a kernel with per-step snapshots")
+
+    def body(state, t):
+        gids = slots[t][None]
+        rng_t = propagate_rng(key, t, gids)
+        state, _ = kernel.step(t, rng_t, state, _ref_slice(ref, t), mask_of(gids))
+        return state, kernel.snapshot(state)
+
+    _, snaps = lax.scan(body, state, jnp.arange(1, T))
+    traj = jax.tree_util.tree_map(
+        lambda s0, ss: jnp.concatenate([s0[None], ss], axis=0), snap0, snaps
+    )
+    # Drop the singleton particle axis: [T, 1, ...] → [T, ...].
+    return jax.tree_util.tree_map(lambda a: a[:, 0], traj)
 
 
 def reconstruct(states: Any, ancestors: jax.Array, index) -> Any:

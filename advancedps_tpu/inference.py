@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from . import rng as rngmod
-from .engine import reconstruct, sweep
+from .engine import reconstruct, replay_trajectory, sweep
 from .generic import GenericModel, GenericSSMKernel
 from .pg import PG, PGAS, PGSample, PGState
 from .resampling import randcat_gumbel
@@ -80,15 +80,37 @@ def step_pg(
     model,
     sampler: PG,
     state: Optional[PGState] = None,
+    trajectory_storage: str = "dense",
 ):
     """One PG / PGAS iteration (reference ``AbstractMCMC.step``,
-    ``/root/reference/src/smc.jl:101-129``).  Returns ``(PGSample, PGState)``."""
+    ``/root/reference/src/smc.jl:101-129``).  Returns ``(PGSample, PGState)``.
+
+    ``trajectory_storage``:
+
+    * ``"dense"`` (default) — store ``[T, N, ...]`` snapshots through the sweep
+      and gather the retained trajectory through the genealogy.
+    * ``"replay"`` — genealogy compaction for big N (SURVEY.md §7 hard part
+      (d)): the sweep stores only the ``[T, N]`` ancestor trace; the retained
+      trajectory is re-sampled exactly along its lineage from the positional
+      RNG (:func:`~advancedps_tpu.engine.replay_trajectory`).  Identical
+      genealogy and draws; states agree to float-reordering tolerance.  Cuts
+      sweep memory from O(T·N·D) to O(T·N) — PGAS at N=1M with vector states
+      fits a single chip.  Structured (:class:`TracedSSM`) models only.
+    """
+    if trajectory_storage not in ("dense", "replay"):
+        raise ValueError(f"unknown trajectory_storage {trajectory_storage!r}")
+    replay = trajectory_storage == "replay"
     kernel = make_kernel(model)
     if sampler.ancestor_sampling and isinstance(model, GenericModel):
         raise TypeError(
             "PGAS requires transition densities — only structured state-space "
             "models support ancestor sampling (reference: update_ref! dispatches "
             "on SSMTrace, /root/reference/src/pgas.jl:113)"
+        )
+    if replay and isinstance(model, GenericModel):
+        raise TypeError(
+            "trajectory_storage='replay' needs per-step snapshots; generic "
+            "models carry their whole variable record as state — use 'dense'"
         )
     ref = None if state is None else state.trajectory
     res = sweep(
@@ -98,13 +120,17 @@ def step_pg(
         sampler.resampler,
         ref=ref,
         ancestor_sampling=sampler.ancestor_sampling and ref is not None,
+        store_states=not replay,
     )
     # Retained-trajectory draw ∝ final weights (reference
     # ``rand(particles.rng, particles)``, /root/reference/src/container.jl:33-36);
     # Gumbel-max form — no softmax/cumsum pass over [N].
     draw_key = rngmod.step_key(key, rngmod.DRAW, 0)
     idx = randcat_gumbel(draw_key, res.log_weights)
-    traj = reconstruct(res.states, res.ancestors, idx)
+    if replay:
+        traj = replay_trajectory(key, kernel, res.ancestors, idx, ref=ref)
+    else:
+        traj = reconstruct(res.states, res.ancestors, idx)
     return PGSample(trajectory=traj, log_evidence=res.log_evidence), PGState(
         trajectory=traj
     )
@@ -116,6 +142,7 @@ def sample_pg(
     sampler: PG,
     n_iterations: int,
     jit_chain: bool = True,
+    trajectory_storage: str = "dense",
 ):
     """Run a PG(AS) chain (usage mirror of
     ``sample(rng, model, pg, N)``, ``/root/reference/test/linear-gaussian.jl:18``).
@@ -124,15 +151,18 @@ def sample_pg(
     ``n_iterations - 1`` conditional sweeps run as one ``lax.scan`` so the whole
     chain is a single compiled on-device program.  Returns stacked ``PGSample``:
     ``trajectory [n_iterations, T, ...]``, ``log_evidence [n_iterations]``.
+    ``trajectory_storage``: see :func:`step_pg`.
     """
     key0 = jax.random.fold_in(key, 0)
-    first, st = step_pg(key0, model, sampler, None)
+    first, st = step_pg(key0, model, sampler, None, trajectory_storage)
 
     if n_iterations == 1:
         return jax.tree_util.tree_map(lambda a: a[None], first)
 
     def body(st, i):
-        smp, st = step_pg(jax.random.fold_in(key, i), model, sampler, st)
+        smp, st = step_pg(
+            jax.random.fold_in(key, i), model, sampler, st, trajectory_storage
+        )
         return st, smp
 
     iters = jnp.arange(1, n_iterations)

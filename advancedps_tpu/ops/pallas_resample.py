@@ -335,46 +335,57 @@ def _resample_move_cols(
 
 
 # ---------------------------------------------------------------------------
-# v2: windowed owner-index decode + move
+# v3: sublane-windowed owner-index decode + move
 # ---------------------------------------------------------------------------
 #
 # The v1 kernel above compares every overlapping 512-row input sub-slice against
-# ALL 1024 slots of the output block — O(N·W) dense work (~3.8 ms per 1M-particle
-# decode+move on v5e, the dominant cost of a triggered resampling step).  But a
-# 128-row sub-slice of the (sorted) extents owns only the slot range
-# ``[f_prev, f_last)`` — about 128 slots when offspring counts are near 1.  v2
-# therefore walks the input in 128-row sub-slices and compares each ONLY against
-# the 128-slot output tiles its rows actually own (usually 1-2 tiles), cutting
-# the compare volume by ~W/128 = 8×.
+# ALL 1024 slots of the output block — O(N·(C+W)) dense work, ~3.6 ms per
+# 1M-particle decode+move (D=1) on v5e, the dominant cost of a triggered
+# resampling step.  But a 128-row sub-slice of the (sorted) extents owns only
+# the slot range ``[f_prev, f_last)`` — about 128 slots when offspring counts
+# are near 1 — so comparing it only against the 128-slot tiles it actually
+# owns cuts the compare volume ~8×.
 #
-# Owner-index formulation (replaces v1's cumulative-count decode): with
+# A first attempt (v2, removed — see git history) implemented exactly that but
+# lost to v1 (5.7 vs 3.6 ms): per-sub-slice ``(1,128)→(128,1)`` relayouts,
+# traced ``fori_loop`` tile bounds and dynamic read-modify-write output stores
+# cost more than the compares saved.  v3 keeps the windowing but fixes the
+# lowering:
+#
+# * rows live in SUBLANES: each 1024-row chunk is transposed ONCE to
+#   ``(128, 8)``, so a sub-slice is a static lane slice (no per-sub-slice
+#   relayout) and the owner-sum is a cheap sublane reduction;
+# * the 8 sub-slices × 8 slot tiles form a STATIC 8×8 grid of ``pl.when``
+#   regions (scalar `need` test each) — no traced-bound loops;
+# * outputs accumulate via static 128-slot slices of the 1-D output block
+#   (slot ``k`` sits at ``(k//128, k%128)`` of the (8,128) tile, so
+#   ``out[t*128:(t+1)*128]`` is one vreg row — no dynamic RMW).
+#
+# Owner-index formulation (vs v1's cumulative-count): with
 # ``cle_{j,k} = (f_j ≤ k)`` the owner mask telescopes per row,
 # ``own_{j,k} = cle_{j-1,k} − cle_{j,k} ∈ {0,1}``, and
 #
 #   anc[k] = Σ_j own_{j,k} · j        (the owner's row index — exact int sum)
 #   out[k] = Σ_j own_{j,k} · v_j      (exactly one nonzero term ⇒ exact copy)
 #
-# Unlike v1's count form, every term is local to the owning sub-slice, so
-# windowed accumulation needs no cross-window bookkeeping.  The output block is
-# shaped (8, 128) — one native f32 tile — and a sub-slice's contribution lands
-# in output rows ``t0..t1`` via dynamic-sublane read-modify-writes.
+# Every term is local to the owning sub-slice, so windowed accumulation needs
+# no cross-window bookkeeping.  Sentinel-padded rows (extent 2^30, ≥1
+# guaranteed) own all output slots past the population: those decode to the
+# first sentinel row id (clipped to m−1 by the caller) with moved value 0.
 #
-# Walk state per grid step (sequential) in SMEM: the sub-slice pointer and the
-# previous sub-slice's last extent (seeds the telescope).  A sub-slice whose
-# last extent exceeds the block end is left for the next block (same carries);
-# sentinel-padded rows (extent 2^30) stop every walk and own all output slots
-# past the population, which the callers slice off or overwrite.
+# Walk state (SMEM, sequential grid): the 1024-row chunk pointer and the last
+# extent of fully-consumed chunks (seeds sub-slice 0's telescope).
 
-_V2_R = 128  # rows per input sub-slice == slots per output tile (lane width)
+_V3_SUB = 128  # rows per sub-slice == slots per tile (lane width)
+_V3_BLK = 1024  # slots per grid step == rows per chunk
 
 
-def _make_move_kernel_v2(n_cols: int):
-    """Kernel over ``win, f2, v2_0 … v2_{n_cols-1}`` → ``anc2, out2_0 …``.
+def _make_move_kernel_v3(n_cols: int):
+    """Kernel over ``win, f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
 
-    2-D layouts: ``f2``/``v2_c`` are ``[M_pad/128, 128]`` (row ``s`` = input
-    sub-slice ``s``); outputs are ``[n_pad/128, 128]`` written one ``(8, 128)``
-    block per grid step.  ``win`` (SMEM int32[2]) = (output-window start,
-    initial sub-slice pointer).
+    1-D layouts as v1 (``f``/``v_c`` are ``[M_pad]``, outputs ``[n_pad]``);
+    ``win`` (SMEM int32[3]) = (output-window start, initial chunk pointer,
+    extent of the last row before that chunk).
     """
 
     def kernel(*refs):
@@ -389,124 +400,133 @@ def _make_move_kernel_v2(n_cols: int):
 
         @pl.when(b == 0)
         def _():
-            carry_ref[0] = win_ref[1]  # sub-slice pointer
-            carry_ref[1] = 0  # previous sub-slice's last extent
+            carry_ref[0] = win_ref[1]  # chunk pointer (units of _V3_BLK rows)
+            carry_ref[1] = win_ref[2]  # last extent before that chunk
 
-        base = win_ref[0] + b * (8 * _V2_R)
-        block_end = base + 8 * _V2_R - 1
-        num_sub = f_ref.shape[0]
+        base = win_ref[0] + b * _V3_BLK
+        block_end = base + _V3_BLK - 1
+        num_chunks = f_ref.shape[0] // _V3_BLK
 
-        anc_ref[...] = jnp.zeros((8, _V2_R), jnp.int32)
+        anc_ref[:] = jnp.zeros((_V3_BLK,), jnp.int32)
         for o in out_refs:
-            o[...] = jnp.zeros((8, _V2_R), jnp.float32)
+            o[:] = jnp.zeros((_V3_BLK,), jnp.float32)
 
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (_V2_R, 1), 0)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _V2_R), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _V3_SUB), 1)
+        subl = jax.lax.broadcasted_iota(jnp.int32, (_V3_SUB, 1), 0)
+        nsub = _V3_BLK // _V3_SUB  # 8 sub-slices per chunk / tiles per block
 
         def cond(c):
             return jnp.logical_not(c[-1])
 
         def body(c):
-            sptr, prev_f, _ = c
-            fs = f_ref[pl.ds(sptr, 1), :]  # (1, 128)
-            sub_last = jnp.max(fs)
-            live = sub_last > base
+            ptr, prev_chunk_last, _ = c
+            off = pl.multiple_of(ptr * _V3_BLK, _V3_BLK)
+            chunk = f_ref[pl.ds(off, _V3_BLK)]
+            fT = jnp.transpose(chunk.reshape(nsub, _V3_SUB))  # (128, 8)
+            vTs = [
+                jnp.transpose(v_ref[pl.ds(off, _V3_BLK)].reshape(nsub, _V3_SUB))
+                for v_ref in v_refs
+            ]
 
-            @pl.when(live)
-            def _():
-                fs_col = fs.reshape(_V2_R, 1)
-                rolled = pltpu.roll(fs_col, shift=1, axis=0)
-                prev_col = jnp.where(row_iota == 0, prev_f, rolled)
-                vals = [
-                    v_ref[pl.ds(sptr, 1), :].reshape(_V2_R, 1)
-                    for v_ref in v_refs
+            for s in range(nsub):
+                col = jax.lax.slice(fT, (0, s), (_V3_SUB, s + 1))  # (128,1)
+                prev_s = (
+                    chunk[s * _V3_SUB - 1] if s > 0 else prev_chunk_last
+                )
+                sub_last = chunk[s * _V3_SUB + _V3_SUB - 1]
+                rowbase = ptr * _V3_BLK + s * _V3_SUB
+                vcols = [
+                    jax.lax.slice(vT, (0, s), (_V3_SUB, s + 1)) for vT in vTs
                 ]
-                rowid_col = sptr * _V2_R + row_iota  # (128, 1)
-                lo = jnp.maximum(prev_f, base)
-                hi = jnp.minimum(sub_last - 1, block_end)  # last owned slot
-                t0 = (lo - base) // _V2_R
-                t1 = (hi - base) // _V2_R  # inclusive
+                for t in range(nsub):
+                    tbase = base + t * _V3_SUB
+                    # This sub-slice owns slots [prev_s, sub_last); the tile
+                    # covers [tbase, tbase + 127].
+                    need = (sub_last > tbase) & (prev_s < tbase + _V3_SUB)
 
-                def tile_body(cidx, _):
-                    pos = base + cidx * _V2_R + lane_iota  # (1, 128)
-                    cle = (fs_col <= pos).astype(jnp.int32)  # (128, 128)
-                    pcle = (prev_col <= pos).astype(jnp.int32)
-                    own = pcle - cle  # {0,1}, ≤ one 1 per column
-                    anc_c = jnp.sum(own * rowid_col, axis=0, keepdims=True)
-                    anc_ref[pl.ds(cidx, 1), :] += anc_c
-                    ownf = own.astype(jnp.float32)
-                    for o, v in zip(out_refs, vals):
-                        o[pl.ds(cidx, 1), :] += jnp.sum(
-                            ownf * v, axis=0, keepdims=True
-                        )
-                    return 0
+                    @pl.when(need)
+                    def _(s=s, t=t, col=col, prev_s=prev_s, rowbase=rowbase,
+                          vcols=vcols, tbase=tbase):
+                        pos = tbase + lane  # (1, 128)
+                        cle = (col <= pos).astype(jnp.int32)  # (128, 128)
+                        shifted = pltpu.roll(cle, shift=1, axis=0)
+                        prow = (prev_s <= pos).astype(jnp.int32)  # (1, 128)
+                        prevrows = jnp.where(subl == 0, prow, shifted)
+                        own = prevrows - cle  # {0,1}, ≤ one 1 per slot
+                        rowid = rowbase + subl  # (128, 1)
+                        sl = slice(t * _V3_SUB, (t + 1) * _V3_SUB)
+                        anc_ref[sl] += jnp.sum(own * rowid, axis=0)
+                        ownf = own.astype(jnp.float32)
+                        for o, v in zip(out_refs, vcols):
+                            o[sl] += jnp.sum(ownf * v, axis=0)
 
-                jax.lax.fori_loop(t0, t1 + 1, tile_body, 0)
+            chunk_last = chunk[_V3_BLK - 1]
+            stop = (chunk_last > block_end) | (ptr + 1 >= num_chunks)
+            adv = jnp.logical_not(stop)
+            ptr_n = jnp.where(adv, ptr + 1, ptr)
+            prev_n = jnp.where(adv, chunk_last, prev_chunk_last)
+            return ptr_n, prev_n, stop
 
-            beyond = sub_last > block_end
-            stop = beyond | (sptr + 1 >= num_sub)
-            adv = jnp.logical_not(beyond)
-            sptr_n = jnp.where(adv, jnp.minimum(sptr + 1, num_sub - 1), sptr)
-            prev_n = jnp.where(adv, sub_last, prev_f)
-            return sptr_n, prev_n, stop
-
-        sptr, prev_f, _ = jax.lax.while_loop(
+        ptr, prev_last, _ = jax.lax.while_loop(
             cond, body, (carry_ref[0], carry_ref[1], jnp.asarray(False))
         )
-        carry_ref[0] = sptr
-        carry_ref[1] = prev_f
+        carry_ref[0] = ptr
+        carry_ref[1] = prev_last
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
-def _resample_move_cols_v2(f, cols, n, start=None, n_out=None, interpret=False):
-    """v2 fused decode+move (see block comment above): same contract as
+def _resample_move_cols_v3(f, cols, n, start=None, n_out=None, interpret=False):
+    """v3 fused decode+move (see block comment above): same contract as
     :func:`_resample_move_cols` — identical ``anc``/moved values for identical
     inputs — at ~1/8 the compare volume."""
     m = f.shape[0]
     windowed = n_out is not None
     if not windowed:
         n_out = n
-    pad_in = (-m) % _V2_R
-    n_pad = -(-n_out // (8 * _V2_R)) * (8 * _V2_R)
+    # Pad to whole 1024-row chunks with ≥1 sentinel row: slots past the
+    # population need a sentinel owner (id ≥ m → clipped to m−1, value 0).
+    pad_in = (-m) % _V3_BLK or _V3_BLK
+    n_pad = -(-n_out // _V3_BLK) * _V3_BLK
     sentinel = jnp.int32(1 << 30)
     f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
     f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
-    f2 = f_p.reshape(-1, _V2_R)
     vs = []
+    zpad = jnp.zeros((pad_in,), jnp.float32)
     for c in cols:
-        v = c.astype(jnp.float32)
-        if pad_in:
-            v = jnp.concatenate([v, jnp.zeros((pad_in,), jnp.float32)])
-        vs.append(v.reshape(-1, _V2_R))
+        vs.append(jnp.concatenate([c.astype(jnp.float32), zpad]))
 
     if windowed:
         start = jnp.asarray(start, jnp.int32)
-        # First sub-slice holding a row with f > start; earlier rows are
-        # consumed for every slot of the window.
+        # First chunk holding a row with f > start (earlier rows own only
+        # slots < start); its telescope seed is the extent just before it.
         j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
-        win = jnp.stack([start, j0 // _V2_R])
+        ptr0 = j0 // _V3_BLK
+        prev0 = jnp.where(
+            ptr0 > 0, f_p[jnp.maximum(ptr0 * _V3_BLK - 1, 0)], jnp.int32(0)
+        )
+        win = jnp.stack([start, ptr0, prev0])
     else:
-        win = jnp.zeros((2,), jnp.int32)
+        win = jnp.zeros((3,), jnp.int32)
 
     n_cols = len(vs)
     outs = pl.pallas_call(
-        _make_move_kernel_v2(n_cols),
-        grid=(n_pad // (8 * _V2_R),),
+        _make_move_kernel_v3(n_cols),
+        grid=(n_pad // _V3_BLK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
         out_specs=[
-            pl.BlockSpec((8, _V2_R), lambda b: (b, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((_V3_BLK,), lambda b: (b,), memory_space=pltpu.VMEM)
         ]
         * (1 + n_cols),
-        out_shape=[jax.ShapeDtypeStruct((n_pad // _V2_R, _V2_R), jnp.int32)]
-        + [jax.ShapeDtypeStruct((n_pad // _V2_R, _V2_R), jnp.float32)] * n_cols,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
+        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
-    )(win, f2, *vs)
-    anc = outs[0].reshape(-1)[:n_out]
-    return anc, tuple(o.reshape(-1)[:n_out] for o in outs[1:])
+    )(win, f_p, *vs)
+    anc = outs[0][:n_out]
+    return anc, tuple(o[:n_out] for o in outs[1:])
 
 
 # VMEM budget: f and the D state columns (plus the [_MS, _MW] mask temporaries)
@@ -550,24 +570,38 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def resample_move(u, weights, state, n: int, interpret: bool = False):
+#: Which fused decode+move implementation the engine uses.  Both are exact and
+#: pinned against each other (tests/test_pallas_resample.py).  Measured on v5e
+#: (1M particles, D=1): v1 3.64 ms/firing, v3 4.95 ms — the windowing's 8×
+#: compare-volume reduction is eaten by its per-chunk transposes, 64 scalar
+#: ``pl.when`` gates and VMEM read-modify-write accumulation, so the dense
+#: staircase remains the default.  v3 is kept as the windowing testbed.
+_MOVE_IMPLS = {1: _resample_move_cols, 3: _resample_move_cols_v3}
+DEFAULT_MOVE_VERSION = 1
+
+
+def resample_move(
+    u, weights, state, n: int, interpret: bool = False, version: int = None
+):
     """Systematic resampling with the state moved in-kernel.
 
     Returns ``(anc int32 [n], new_state)`` where ``new_state`` equals
     ``tree_map(lambda a: a[anc], state)`` exactly.  Caller must check
     :func:`move_eligible` first.
     """
+    impl = _MOVE_IMPLS[version or DEFAULT_MOVE_VERSION]
     m = weights.shape[0]
     cdf = jnp.cumsum(weights)
     f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
     leaves, treedef, cols = _flatten_cols(state, m)
-    anc, ys = _resample_move_cols(f, cols, n, interpret=interpret)
+    anc, ys = impl(f, cols, n, interpret=interpret)
     anc = jnp.clip(anc, 0, m - 1)
     return anc, _unflatten_cols(leaves, treedef, ys, m, n)
 
 
 def resample_move_window(
-    u, weights, state, n: int, start, n_out: int, interpret: bool = False
+    u, weights, state, n: int, start, n_out: int,
+    interpret: bool = False, version: int = None,
 ):
     """Window variant of :func:`resample_move` for sharded sweeps.
 
@@ -580,12 +614,11 @@ def resample_move_window(
     beyond ``n`` (e.g. the reference slot the caller overwrites) decode to
     ``anc = m - 1`` with moved value 0.
     """
+    impl = _MOVE_IMPLS[version or DEFAULT_MOVE_VERSION]
     m = weights.shape[0]
     cdf = jnp.cumsum(weights)
     f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
     leaves, treedef, cols = _flatten_cols(state, m)
-    anc, ys = _resample_move_cols(
-        f, cols, n, start=start, n_out=n_out, interpret=interpret
-    )
+    anc, ys = impl(f, cols, n, start=start, n_out=n_out, interpret=interpret)
     anc = jnp.clip(anc, 0, m - 1)
     return anc, _unflatten_cols(leaves, treedef, ys, m, n_out)

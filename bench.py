@@ -13,8 +13,11 @@ Prints ONE JSON line:
 Diagnostics go to stderr.
 """
 
+import glob
 import json
 import math
+import os
+import re
 import sys
 import time
 
@@ -23,6 +26,49 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def prior_round_value(metric: str):
+    """Best recorded value of ``metric`` across the driver's BENCH_r*.json
+    artifacts — the ratchet: regressions vs ANY prior round must be loud
+    (round 2 regressed 2.2x vs round 1 silently; comparing only to the
+    immediately-prior round would have normalised that)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_round, best_val = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except Exception:
+            continue
+        # The driver wraps the printed JSON line under "parsed"; accept both
+        # the wrapped record and a bare metric dict / list of dicts.
+        if isinstance(rec, dict) and "parsed" in rec:
+            rec = rec["parsed"]
+        recs = rec if isinstance(rec, list) else [rec]
+        for r in recs:
+            if isinstance(r, dict) and r.get("metric") == metric:
+                v = float(r["value"])
+                if best_val is None or v > best_val:
+                    best_round, best_val = int(m.group(1)), v
+    return best_round, best_val
+
+
+def ratchet(metric: str, value: float):
+    rnd, prev = prior_round_value(metric)
+    if prev is None:
+        log(f"ratchet: no prior round recorded for {metric}")
+        return
+    rel = value / prev - 1.0
+    log(f"ratchet: round {rnd} recorded {prev:.3e}; this run {value:.3e} ({rel:+.1%})")
+    if value < 0.9 * prev:
+        log(
+            f"WARNING: REGRESSION >10% vs round {rnd} "
+            f"({prev:.3e} -> {value:.3e}). Do not ship without a root cause."
+        )
 
 
 # --- config (headline: 1M particles, T=100 — BASELINE.json) ---------------------
@@ -149,6 +195,7 @@ def main():
         np_rate = numpy_baseline_rate(np.asarray(ys))
         log(f"numpy baseline: {np_rate/1e6:.1f} M particle-steps/s")
 
+    ratchet("lgssm_sweep_particle_steps_per_sec_per_chip", rate)
     print(
         json.dumps(
             {

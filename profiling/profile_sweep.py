@@ -51,7 +51,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     import advancedps_tpu as aps
-    from advancedps_tpu.engine import sweep
+    from advancedps_tpu.engine import propagate_rng, sweep
     from advancedps_tpu.smc import SSMKernel
     from advancedps_tpu import rng as rngmod
 
@@ -108,11 +108,12 @@ def main():
         return sweep(key, kernel, N, never, store_states=False).log_evidence
 
     def propagate_only(key):
+        # CRITICAL: build the StepRng via the engine's own helper so this
+        # micro-bench can never again profile a path the engine doesn't take
+        # (the round-2 regression shipped exactly that way).
         def body(c, t):
             x, lw = c
-            rng_t = rngmod.StepRng(
-                key=rngmod.step_key(key, rngmod.PROPAGATE, t), gids=gids
-            )
+            rng_t = propagate_rng(key, t, gids)
             x, score = kernel.step(t, rng_t, x, None, None)
             return (x, lw + score), ()
 
@@ -171,6 +172,25 @@ def main():
     log(f"{'component':<28}{'device total':>14}  {'per-step':>14}")
     for name, ms, per in rows:
         log(f"{name:<28}{ms:>12.2f}ms  {per:>14}")
+
+    # Faithfulness check: the measured components must explain the sweep they
+    # claim to decompose.  The no-resample sweep is (propagate+score) +
+    # (weight reductions) plus scan overhead; if the parts sum to less than
+    # half of the whole, some engine cost is not being profiled — exactly the
+    # failure mode that let the round-2 RNG regression ship silently.
+    by = {name: ms for name, ms, _ in rows}
+    whole = by["no-resample sweep"]
+    parts = by["propagate+score scan"] + by["weight-reduction scan"]
+    ratio = parts / whole if whole > 0 else float("nan")
+    log("")
+    log(f"faithfulness: components/no-resample sweep = {ratio:.2f}")
+    if not (0.5 <= ratio <= 1.5):
+        log(
+            "WARNING: component micro-benches explain "
+            f"{ratio:.0%} of the no-resample sweep — the profiler is "
+            "measuring a different path than the engine takes. Fix this "
+            "before trusting any number above."
+        )
 
     if args.trace:
         f = jax.jit(full)

@@ -75,8 +75,15 @@ def test_long_flat_run_spanning_blocks():
 
 
 # --- fused resample+move kernel ----------------------------------------------
+#
+# Both kernel generations are pinned against the same searchsorted oracle:
+# v1 (cumulative-count staircase) and v3 (sublane-windowed owner-index
+# staircase, the production default) must produce IDENTICAL ancestors and
+# bitwise-identical moved values for identical inputs.
 
 from advancedps_tpu.ops.pallas_resample import resample_move
+
+VERSIONS = [1, 3]
 
 
 def _move_ref(u, w, n, m):
@@ -86,45 +93,49 @@ def _move_ref(u, w, n, m):
     return np.clip(anc, 0, m - 1)
 
 
+@pytest.mark.parametrize("version", VERSIONS)
 @pytest.mark.parametrize("m,n", [(1000, 1000), (1000, 999), (3000, 3000), (5, 5), (2048, 4096)])
-def test_resample_move_matches_gather(m, n):
+def test_resample_move_matches_gather(m, n, version):
     key = jax.random.key(m * 7 + n)
     k1, k2, k3 = jax.random.split(key, 3)
     w = jax.nn.softmax(jax.random.normal(k1, (m,)) * 3)
     state = {"a": jax.random.normal(k2, (m,)), "b": jax.random.normal(k3, (m, 3))}
     u = float(jax.random.uniform(jax.random.fold_in(key, 9)))
-    anc, moved = resample_move(u, w, state, n, interpret=True)
+    anc, moved = resample_move(u, w, state, n, interpret=True, version=version)
     anc_ref = _move_ref(u, w, n, m)
     np.testing.assert_array_equal(np.asarray(anc), anc_ref)
     np.testing.assert_array_equal(np.asarray(moved["a"]), np.asarray(state["a"])[anc_ref])
     np.testing.assert_array_equal(np.asarray(moved["b"]), np.asarray(state["b"])[anc_ref])
 
 
-def test_resample_move_single_survivor():
+@pytest.mark.parametrize("version", VERSIONS)
+def test_resample_move_single_survivor(version):
     m = n = 2048
     w = jnp.zeros(m).at[777].set(1.0)
     x = jnp.arange(m, dtype=jnp.float32)
-    anc, moved = resample_move(0.5, w, x, n, interpret=True)
+    anc, moved = resample_move(0.5, w, x, n, interpret=True, version=version)
     assert bool((anc == 777).all())
     assert bool((moved == 777.0).all())
 
 
-def test_resample_move_values_exact_copies():
+@pytest.mark.parametrize("version", VERSIONS)
+def test_resample_move_values_exact_copies(version):
     # The moved values must be *bitwise* copies of the source rows (the owner
     # mask has one nonzero per output, so the dot is a copy, not a blend).
     m = n = 3000
     key = jax.random.key(11)
     w = jax.nn.softmax(jax.random.normal(key, (m,)) * 5)
     x = jax.random.normal(jax.random.fold_in(key, 1), (m,)) * 1e-7  # tiny values
-    anc, moved = resample_move(0.123, w, x, n, interpret=True)
+    anc, moved = resample_move(0.123, w, x, n, interpret=True, version=version)
     np.testing.assert_array_equal(np.asarray(moved), np.asarray(x)[np.asarray(anc)])
 
 
 from advancedps_tpu.ops.pallas_resample import resample_move_window
 
 
+@pytest.mark.parametrize("version", VERSIONS)
 @pytest.mark.parametrize("m,n,n_shards", [(8192, 8192, 8), (5000, 4096, 4), (1000, 4096, 4)])
-def test_resample_move_window_matches_full_slices(m, n, n_shards):
+def test_resample_move_window_matches_full_slices(m, n, n_shards, version):
     # The sharded exchange decodes each chip's output window against the
     # global CDF; windows must tile exactly into the whole-population result.
     rng = np.random.default_rng(m + n)
@@ -132,11 +143,11 @@ def test_resample_move_window_matches_full_slices(m, n, n_shards):
     w = jnp.asarray(w / w.sum())
     x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
     u = float(rng.random())
-    anc_full, moved_full = resample_move(u, w, x, n, interpret=True)
+    anc_full, moved_full = resample_move(u, w, x, n, interpret=True, version=version)
     L = n // n_shards
     for k in range(n_shards):
         anc_w, moved_w = resample_move_window(
-            u, w, x, n, jnp.int32(k * L), L, interpret=True
+            u, w, x, n, jnp.int32(k * L), L, interpret=True, version=version
         )
         np.testing.assert_array_equal(
             np.asarray(anc_w), np.asarray(anc_full)[k * L : (k + 1) * L]
@@ -146,7 +157,8 @@ def test_resample_move_window_matches_full_slices(m, n, n_shards):
         )
 
 
-def test_resample_move_window_past_population_end():
+@pytest.mark.parametrize("version", VERSIONS)
+def test_resample_move_window_past_population_end(version):
     # Slots at/after the drawn population (the reference slot the sharded
     # caller overwrites) decode to the clipped last parent with moved value 0.
     m = n = 4096
@@ -154,12 +166,31 @@ def test_resample_move_window_past_population_end():
     w = rng.gamma(0.2, size=m).astype(np.float32)
     w = jnp.asarray(w / w.sum())
     x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
-    anc_f, moved_f = resample_move(0.3, w, x, n - 1, interpret=True)
+    anc_f, moved_f = resample_move(0.3, w, x, n - 1, interpret=True, version=version)
     anc_w, moved_w = resample_move_window(
-        0.3, w, x, n - 1, jnp.int32(n - 1024), 1024, interpret=True
+        0.3, w, x, n - 1, jnp.int32(n - 1024), 1024, interpret=True, version=version
     )
     np.testing.assert_array_equal(np.asarray(anc_w)[:-1], np.asarray(anc_f)[n - 1024 :])
     np.testing.assert_array_equal(
         np.asarray(moved_w)[:-1], np.asarray(moved_f)[n - 1024 :]
     )
     assert int(anc_w[-1]) == m - 1 and float(moved_w[-1]) == 0.0
+
+
+@pytest.mark.parametrize("m,n", [(4096, 4096), (3000, 2999), (8192, 8192)])
+def test_v3_matches_v1_exactly(m, n):
+    # Direct v1-vs-v3 agreement on skewed weights (long runs spanning blocks),
+    # multi-column state, bitwise equality of moved values.
+    rng = np.random.default_rng(m * 13 + n)
+    w = rng.gamma(0.05, size=m).astype(np.float32)  # heavy skew: long runs
+    w = jnp.asarray(w / w.sum())
+    state = {
+        "a": jnp.asarray(rng.standard_normal(m).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal((m, 2)).astype(np.float32)),
+    }
+    u = float(rng.random())
+    anc1, mv1 = resample_move(u, w, state, n, interpret=True, version=1)
+    anc2, mv2 = resample_move(u, w, state, n, interpret=True, version=3)
+    np.testing.assert_array_equal(np.asarray(anc1), np.asarray(anc2))
+    np.testing.assert_array_equal(np.asarray(mv1["a"]), np.asarray(mv2["a"]))
+    np.testing.assert_array_equal(np.asarray(mv1["b"]), np.asarray(mv2["b"]))

@@ -179,3 +179,53 @@ def test_pgas_rejects_generic_models():
     gm = aps.GenericModel(m)
     with pytest.raises(TypeError, match="ancestor sampling"):
         aps.sample(jax.random.key(0), gm, aps.PGAS(5), 2)
+
+
+# --- genealogy compaction: replay storage must equal dense storage bitwise ---
+
+
+@pytest.mark.parametrize("sampler_cls", [aps.PG, aps.PGAS])
+def test_replay_storage_matches_dense(sampler_cls):
+    # trajectory_storage='replay' re-samples the retained trajectory from the
+    # positional RNG along the genealogy instead of gathering stored
+    # snapshots (SURVEY.md §7(d)).  Same key ⇒ identical genealogy and draws;
+    # state values agree to XLA float-reordering tolerance (the one-particle
+    # replay program fuses FMAs differently than the N-particle sweep).
+    traced = _lgssm(T=6, seed=3)
+    dense = aps.sample(jax.random.key(9), traced, sampler_cls(12), 8)
+    repl = aps.sample(
+        jax.random.key(9), traced, sampler_cls(12), 8, trajectory_storage="replay"
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.trajectory), np.asarray(repl.trajectory),
+        rtol=0, atol=1e-5,
+    )
+    # log-evidence comes from the (identical) sweep, not the replay: bitwise.
+    np.testing.assert_array_equal(
+        np.asarray(dense.log_evidence), np.asarray(repl.log_evidence)
+    )
+
+
+def test_replay_storage_nonmarkov_matches_dense():
+    # Non-Markov dynamics replay their own (lineage) history buffer.
+    model = aps.models.gp_ssm(num_steps=5, lengthscale=1.5, variance=0.5)
+    _, ys = aps.simulate(jax.random.key(1), model, 5)
+    traced = aps.TracedSSM(model, ys)
+    dense = aps.sample(jax.random.key(2), traced, aps.PG(8), 5)
+    repl = aps.sample(
+        jax.random.key(2), traced, aps.PG(8), 5, trajectory_storage="replay"
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.trajectory), np.asarray(repl.trajectory),
+        rtol=0, atol=1e-5,
+    )
+
+
+def test_replay_storage_rejects_generic_models():
+    def prog(ctx):
+        a = ctx.sample(aps.Normal(0.0, 1.0), name="a")
+        ctx.observe(aps.Normal(a, 0.5), 0.7)
+
+    gm = aps.GenericModel(prog)
+    with pytest.raises(TypeError):
+        aps.sample(jax.random.key(0), gm, aps.PG(8), 3, trajectory_storage="replay")
