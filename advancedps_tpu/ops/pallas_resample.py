@@ -38,6 +38,7 @@ __all__ = [
     "systematic_pallas",
     "resample_move",
     "resample_move_window",
+    "resample_move_window_fext",
     "move_eligible",
 ]
 
@@ -597,6 +598,32 @@ def resample_move(
     anc, ys = impl(f, cols, n, interpret=interpret)
     anc = jnp.clip(anc, 0, m - 1)
     return anc, _unflatten_cols(leaves, treedef, ys, m, n)
+
+
+def resample_move_window_fext(
+    f_ext, state, n: int, start, n_out: int,
+    interpret: bool = False, version: int = None,
+):
+    """Window decode+move against a ROW-WINDOW of precomputed global extents.
+
+    The O(N/K·D) sharded exchange (parallel/sharded.py) hands each chip only
+    the 3 neighbouring shards' rows: ``f_ext`` is the nondecreasing int32
+    global-extents slice for those rows and ``state`` their value rows (same
+    leading length).  Requires (caller-guaranteed, via the neighbour-exchange
+    predicate) that every owner of slots ``[start, start + n_out)`` lies
+    inside the window and that all rows BEFORE the window have extents
+    ``≤ start``; then the returned ``anc`` is the WINDOW-LOCAL owner index
+    (global owner − window first row) and moved values are exact copies.  The
+    kernel's last-row guard (``f.at[m-1].set(n)``) only raises the final
+    window row's extent, which by the predicate already exceeds every slot
+    decoded here, so ownership inside the window is unchanged.
+    """
+    impl = _MOVE_IMPLS[version or DEFAULT_MOVE_VERSION]
+    m = f_ext.shape[0]
+    leaves, treedef, cols = _flatten_cols(state, m)
+    anc, ys = impl(f_ext, cols, n, start=start, n_out=n_out, interpret=interpret)
+    anc = jnp.clip(anc, 0, m - 1)
+    return anc, _unflatten_cols(leaves, treedef, ys, m, n_out)
 
 
 def resample_move_window(

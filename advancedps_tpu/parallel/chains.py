@@ -65,8 +65,19 @@ def sharded_chains_pg(
     n_iterations: int,
     chain_axis: str = CHAIN_AXIS,
     axis: str = PARTICLE_AXIS,
+    exchange: str = "allgather",
 ):
     """K chains × P particle-shards on a 2-D ``(chains, particles)`` mesh.
+
+    ``exchange`` must stay ``"allgather"`` here: the O(L·D) neighbour exchange
+    uses ``ppermute``, which XLA lowers to a *channel* ``collective-permute``
+    whose participants are ALL devices of the program (no replica groups —
+    unlike ``all_gather``).  The resample gate is per-chain, so chain groups
+    diverge on it, and a collective-permute inside a divergent branch
+    deadlocks the rendezvous (measured on the 8-device CPU mesh: 4 of 8
+    threads arrive).  The neighbour exchange is sound exactly when the gate is
+    uniform across the whole mesh — i.e. on 1-D particle meshes
+    (:func:`~advancedps_tpu.parallel.sharded.sharded_sweep`).
 
     The whole run is **one** ``shard_map`` program: the chain axis partitions
     independent PG(AS) chains (zero communication across it), the particle axis
@@ -78,6 +89,13 @@ def sharded_chains_pg(
     Returns ``(trajectories [n_chains, n_iterations, T, ...],
     log_evidence [n_chains, n_iterations])``.
     """
+    if exchange != "allgather":
+        raise ValueError(
+            "sharded_chains_pg supports exchange='allgather' only: the "
+            "neighbour ppermute exchange cannot sit under the per-chain "
+            "resample gate (collective-permute rendezvous spans all devices; "
+            "divergent chain groups deadlock it)"
+        )
     Kc = mesh.shape[chain_axis]
     Kp = mesh.shape[axis]
     n = sampler.n_particles
@@ -107,6 +125,7 @@ def sharded_chains_pg(
             ancestor_sampling=sampler.ancestor_sampling and has_ref,
             store_states=True,
             axis=axis,
+            exchange=exchange,
         )
         gids = lax.axis_index(axis) * L + jnp.arange(L)
         ref_mask = (gids == (n - 1)) if has_ref else None

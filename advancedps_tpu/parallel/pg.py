@@ -58,8 +58,23 @@ def sharded_step_pg(
     mesh: Mesh,
     state: Optional[PGState] = None,
     axis: str = PARTICLE_AXIS,
+    trajectory_storage: str = "dense",
+    exchange: str = "auto",
 ):
-    """One sharded PG(AS) iteration.  Returns ``(PGSample, PGState)``."""
+    """One sharded PG(AS) iteration.  Returns ``(PGSample, PGState)``.
+
+    ``trajectory_storage="replay"`` is the sharded form of genealogy
+    compaction (see :func:`advancedps_tpu.inference.step_pg`): the sweep keeps
+    only the ``[T, N]`` ancestor trace sharded-free of state snapshots, and the
+    retained trajectory is re-sampled along its lineage from the positional
+    RNG — the replay consumes the same ``(key, stream, step, global id)``
+    counters the sharded sweep drew, so the draws are identical by
+    construction.  ``exchange`` selects the resampling state-exchange strategy
+    (:func:`~advancedps_tpu.parallel.sharded.sweep_shard_body`).
+    """
+    if trajectory_storage not in ("dense", "replay"):
+        raise ValueError(f"unknown trajectory_storage {trajectory_storage!r}")
+    replay = trajectory_storage == "replay"
     ref = None if state is None else state.trajectory
     res = sharded_sweep(
         key,
@@ -69,7 +84,9 @@ def sharded_step_pg(
         mesh,
         ref=ref,
         ancestor_sampling=sampler.ancestor_sampling and ref is not None,
+        store_states=not replay,
         axis=axis,
+        exchange=exchange,
     )
     # Replicate the (small) final weights before the categorical draw; the state
     # stack stays sharded and the trajectory extraction contracts over it.
@@ -78,8 +95,15 @@ def sharded_step_pg(
     ancestors = jax.sharding.reshard(res.ancestors, rep)
     draw_key = rngmod.step_key(key, rngmod.DRAW, 0)
     idx = randcat_gumbel(draw_key, logw)
-    traj = reconstruct_one_sharded(res.states, ancestors, idx)
-    traj = jax.sharding.reshard(traj, NamedSharding(mesh, P()))
+    if replay:
+        from ..engine import replay_trajectory
+
+        # The genealogy is replicated and the replay is a single-particle
+        # O(T·D) program: run it replicated rather than inventing a collective.
+        traj = replay_trajectory(key, kernel, ancestors, idx, ref=ref)
+    else:
+        traj = reconstruct_one_sharded(res.states, ancestors, idx)
+        traj = jax.sharding.reshard(traj, NamedSharding(mesh, P()))
     return PGSample(trajectory=traj, log_evidence=res.log_evidence), PGState(
         trajectory=traj
     )

@@ -18,10 +18,13 @@ Design (SURVEY.md §5.8):
   (``fold_in(step_key, global_id)``), so propagation is bitwise independent of the
   sharding layout.
 * State exchange (the only heavy collective) happens **only when the ESS gate
-  triggers**, under a ``lax.cond`` with a replicated predicate: an ``all_gather`` of
-  the state pytree followed by a local gather of each chip's ancestor rows.
-  (A ragged ``ppermute`` exchange is a planned optimisation; ``all_gather`` is exact
-  and rides ICI.)
+  triggers**, under a ``lax.cond`` with a replicated predicate.  Because
+  systematic ancestors are monotone, chip k's L output slots are owned by ≤ L+1
+  contiguous source rows; when shard boundary extents stay within one shard of
+  home (a replicated K-scalar test — the overwhelmingly common case, shard sums
+  concentrate at O(√L)), two ``ppermute``s ship just the neighbour shards' rows:
+  **O(L·D) per chip instead of O(N·D)**.  Heavy-skew firings fall back to the
+  exact ``all_gather`` replica under the same ``lax.cond``.
 * The reference particle occupies the **last slot of the last shard** and is masked
   into the propagate kernel exactly as in the single-chip engine.
 
@@ -76,16 +79,36 @@ def sweep_shard_body(
     ancestor_sampling: bool = False,
     store_states: bool = True,
     axis: str = PARTICLE_AXIS,
+    exchange: str = "auto",
 ):
     """Per-shard sweep body — runs *inside* a ``shard_map`` whose mesh has a
     particle axis named ``axis`` (callers may add further axes, e.g. a chain
     axis).  ``L`` is the local particle count (``n // mesh.shape[axis]``).
 
+    ``exchange`` picks the gated state-exchange strategy (systematic
+    resampler only; others always use ``"allgather"``):
+
+    * ``"auto"`` (default) — neighbour ``ppermute`` exchange, O(L·D) per chip,
+      guarded by a replicated K-scalar predicate; falls back to ``all_gather``
+      on the (heavy-skew) firings whose ancestor ranges leave the 3-shard
+      window.  Exact either way.  REQUIRES the resample gate to be uniform
+      across every device of the program — true for 1-D particle meshes, NOT
+      under a per-chain gate (see ``chains.sharded_chains_pg``): ppermute
+      lowers to a channel ``collective-permute`` whose rendezvous spans all
+      devices, so a divergent branch deadlocks.
+    * ``"allgather"`` — always replicate the state pytree (round-1 behaviour).
+    * ``"neighbor"`` — always take the ppermute path WITHOUT the predicate
+      fallback; for tests/benches that assert on the collective footprint.
+      Wrong results if a firing's ancestry leaves the neighbour window.
+
     Returns ``(state, logw, log_z, snaps, ancs, esss, rss)`` with per-particle
     arrays local ``[L, ...]`` and scalars replicated across the axis.
     """
+    if exchange not in ("auto", "allgather", "neighbor"):
+        raise ValueError(f"unknown exchange {exchange!r}")
     has_ref = ref is not None
     T = kernel.num_steps
+    K = n // L
     n_resample = n - 1 if has_ref else n  # reference draws n-1 ancestors
     # (``/root/reference/src/container.jl:181-182``)
 
@@ -147,17 +170,36 @@ def sweep_shard_body(
                     ref_anc = lax.pmin(cand, axis).astype(jnp.int32)
                 return ref_anc
 
-            def resample_branch(operand):
+            def apply_ref(local_anc, moved, ref_anc, row_of):
+                """Overwrite the reference slot (global n-1, on the last
+                shard) with the retained ancestor draw; ``row_of(ref_anc)``
+                fetches that global row's state exactly."""
+                is_ref = gids == (n - 1)
+                local_anc = jnp.where(is_ref, ref_anc, local_anc)
+                ref_row = row_of(ref_anc)
+                moved = jax.tree_util.tree_map(
+                    lambda mv, r: jnp.where(
+                        is_ref.reshape((L,) + (1,) * (mv.ndim - 1)),
+                        r[None],
+                        mv,
+                    ),
+                    moved,
+                    ref_row,
+                )
+                return local_anc, moved
+
+            def exchange_allgather(operand, rs_key, u):
+                """Round-1 exchange: replicate the state pytree (O(N·D) per
+                chip), decode/move each chip's window from the replica."""
                 state, logw = operand
                 # The one O(N) weight collective, gated on the ESS test.
                 weights_all = lax.all_gather(e, axis, tiled=True) / s1
-                rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
 
-                # Fast path (TPU): gather the state pytree once, then decode
-                # the *local window* of systematic ancestors AND move this
-                # shard's rows in one fused Pallas pass (same extents formula
-                # as ``resample_systematic`` ⇒ identical indices), instead of
-                # a whole-population decode plus an XLA dynamic gather.
+                # Fused path (TPU): decode the *local window* of systematic
+                # ancestors AND move this shard's rows in one Pallas pass
+                # (same extents formula as ``resample_systematic`` ⇒
+                # identical indices) instead of a whole-population decode
+                # plus an XLA dynamic gather.
                 state_all = gather_all(state)
                 use_fused = (
                     resampler.resampler is resample_systematic
@@ -165,22 +207,16 @@ def sweep_shard_body(
                     and _pallas_move.move_eligible(state_all, n)
                 )
                 if use_fused:
-                    u = jax.random.uniform(rs_key, dtype=weights_all.dtype)
                     local_anc, moved = _pallas_move.resample_move_window(
                         u, weights_all, state_all, n_resample, k_idx * L, L
                     )
                     if has_ref:
                         ref_anc = draw_ref_anc(state, logw)
-                        is_ref = gids == (n - 1)
-                        local_anc = jnp.where(is_ref, ref_anc, local_anc)
-                        moved = jax.tree_util.tree_map(
-                            lambda mv, a: jnp.where(
-                                is_ref.reshape((L,) + (1,) * (mv.ndim - 1)),
-                                a[ref_anc][None],
-                                mv,
+                        local_anc, moved = apply_ref(
+                            local_anc, moved, ref_anc,
+                            lambda a: jax.tree_util.tree_map(
+                                lambda s: s[a], state_all
                             ),
-                            moved,
-                            state_all,
                         )
                     return local_anc, moved, jnp.zeros_like(logw)
 
@@ -198,6 +234,136 @@ def sweep_shard_body(
                     lambda a: jnp.take(a, local_anc, axis=0), state_all
                 )
                 return local_anc, moved, jnp.zeros_like(logw)
+
+            def exchange_neighbor(operand, rs_key, u, prefix, fb):
+                """O(L·D)-per-chip exchange (VERDICT r2 #5; replaces the fork
+                loop ``/root/reference/src/container.jl:190-217``): because
+                systematic ancestors are MONOTONE, chip k's L output slots are
+                owned by ≤ L+1 CONTIGUOUS source rows, and when no shard's
+                boundary extent strays more than one shard (the replicated
+                predicate below — overwhelmingly the case, since shard weight
+                sums concentrate at O(√L)), those rows lie within shards
+                {k-1, k, k+1}.  Two ``ppermute``s ship the neighbour rows,
+                then the windowed decode runs against a 3L-row extents slice.
+                """
+                state, logw = operand
+                nr = n_resample
+                # Per-shard global extents: stitch the local cumsum into the
+                # replicated prefix EXACTLY at boundaries (clip + set + cummax
+                # absorb the ulp disagreements between the shard-sum psum and
+                # the local cumsum), so f_ext is globally nondecreasing and
+                # each shard's last extent is bitwise fb[k].
+                cdf = jnp.cumsum(e) / s1 + jnp.where(
+                    k_idx > 0, prefix[k_idx - 1], 0.0
+                )
+                f_loc = jnp.clip(jnp.ceil(nr * cdf - u), 0, nr).astype(jnp.int32)
+                lo = jnp.where(k_idx > 0, fb[k_idx - 1], 0)
+                f_loc = jnp.clip(f_loc, lo, fb[k_idx])
+                f_loc = f_loc.at[L - 1].set(fb[k_idx])
+                f_loc = lax.cummax(f_loc, axis=0)
+
+                recv_from_left = [(i, (i + 1) % K) for i in range(K)]
+                recv_from_right = [(i, (i - 1) % K) for i in range(K)]
+
+                def from_left(x):
+                    return lax.ppermute(x, axis, recv_from_left)
+
+                def from_right(x):
+                    return lax.ppermute(x, axis, recv_from_right)
+
+                # Ring wrap masking: chip 0's left block owns nothing
+                # (extent 0 = consumed), chip K-1's right block owns nothing
+                # (extent nr = beyond every drawn slot).  Values need no mask
+                # — rows with empty ownership never contribute.
+                f_left = jnp.where(k_idx == 0, 0, from_left(f_loc))
+                f_right = jnp.where(k_idx == K - 1, nr, from_right(f_loc))
+                f_ext = jnp.concatenate([f_left, f_loc, f_right])
+                state_ext = jax.tree_util.tree_map(
+                    lambda a: jnp.concatenate(
+                        [from_left(a), a, from_right(a)], axis=0
+                    ),
+                    state,
+                )
+
+                start = k_idx * L
+                use_fused = (
+                    _pallas_move is not None
+                    and _pallas_move.move_eligible(state_ext, 3 * L)
+                )
+                if use_fused:
+                    anc_win, moved = _pallas_move.resample_move_window_fext(
+                        f_ext, state_ext, nr, start, L
+                    )
+                else:
+                    slots = start + jnp.arange(L, dtype=jnp.int32)
+                    anc_win = jnp.clip(
+                        jnp.searchsorted(f_ext, slots, side="right"),
+                        0,
+                        3 * L - 1,
+                    ).astype(jnp.int32)
+                    moved = jax.tree_util.tree_map(
+                        lambda a: jnp.take(a, anc_win, axis=0), state_ext
+                    )
+                local_anc = jnp.clip((k_idx - 1) * L + anc_win, 0, n - 1)
+
+                if has_ref:
+                    ref_anc = draw_ref_anc(state, logw)
+
+                    def row_of(a):
+                        # Bitwise-exact O(K·D) broadcast of one global row:
+                        # every chip offers its clipped candidate, the owner
+                        # chip's row is selected from the K-row gather.
+                        loc = jnp.clip(a - k_idx * L, 0, L - 1)
+                        return jax.tree_util.tree_map(
+                            lambda s: lax.all_gather(s[loc], axis)[a // L],
+                            state,
+                        )
+
+                    local_anc, moved = apply_ref(local_anc, moved, ref_anc, row_of)
+                return local_anc, moved, jnp.zeros_like(logw)
+
+            def resample_branch(operand):
+                rs_key = rngmod.step_key(key, rngmod.RESAMPLE, t)
+                u = jax.random.uniform(rs_key, dtype=e.dtype)
+                neighbor_possible = (
+                    exchange in ("auto", "neighbor")
+                    and resampler.resampler is resample_systematic
+                    and K >= 2
+                )
+                if not neighbor_possible:
+                    return exchange_allgather(operand, rs_key, u)
+
+                nr = n_resample
+                # K-scalar collective: shard weight sums -> replicated global
+                # CDF prefix -> each shard's boundary extent fb[k] (the extent
+                # of its LAST row, enforced bitwise in exchange_neighbor).
+                sums = lax.all_gather(jnp.sum(e), axis)  # [K]
+                prefix = jnp.cumsum(sums) / s1
+                fb = jnp.clip(
+                    jnp.ceil(nr * prefix - u), 0, nr
+                ).astype(jnp.int32)
+                fb = fb.at[K - 1].set(nr)
+
+                if exchange == "neighbor":
+                    return exchange_neighbor(operand, rs_key, u, prefix, fb)
+
+                # Replicated predicate: every chip k's owners lie in shards
+                # {k-1, k, k+1}.  Right: the owner of k's last slot sits
+                # before row (k+2)L ⟸ fb[k+1] ≥ (k+1)L.  Left: rows before
+                # (k-1)L are consumed by slot kL ⟸ fb[k-2] ≤ kL.
+                sl = (jnp.arange(K, dtype=jnp.int32) + 1) * L
+                ok_right = jnp.all(fb[1:] >= sl[: K - 1])
+                ok_left = (
+                    jnp.all(fb[: K - 2] <= sl[1 : K - 1])
+                    if K > 2
+                    else jnp.asarray(True)
+                )
+                return lax.cond(
+                    ok_right & ok_left,
+                    lambda op: exchange_neighbor(op, rs_key, u, prefix, fb),
+                    lambda op: exchange_allgather(op, rs_key, u),
+                    operand,
+                )
 
             def skip_branch(operand):
                 state, logw = operand
@@ -244,11 +410,14 @@ def sharded_sweep(
     ancestor_sampling: bool = False,
     store_states: bool = True,
     axis: str = PARTICLE_AXIS,
+    exchange: str = "auto",
 ) -> SweepResult:
     """Sharded counterpart of :func:`advancedps_tpu.engine.sweep`.
 
     ``n_particles`` must divide evenly by the mesh's ``axis`` size.  Returns a
     :class:`SweepResult` whose per-particle arrays are global (sharded) arrays.
+    ``exchange`` selects the gated state-exchange strategy — see
+    :func:`sweep_shard_body`.
     """
     n = n_particles
     K = mesh.shape[axis]
@@ -269,6 +438,7 @@ def sharded_sweep(
             ancestor_sampling=ancestor_sampling,
             store_states=store_states,
             axis=axis,
+            exchange=exchange,
         )
 
     p = P(axis)

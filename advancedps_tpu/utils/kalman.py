@@ -65,3 +65,41 @@ def kalman_filter(
     means = jnp.concatenate([jnp.asarray(m0)[None], means])
     variances = jnp.concatenate([jnp.asarray(v0)[None], variances])
     return KalmanResult(means=means, variances=variances, log_likelihood=ll)
+
+
+def kalman_smoother(
+    ys: jax.Array,
+    a: float,
+    b: float,
+    q: float,
+    h: float,
+    r: float,
+    mu0: float,
+    sigma0: float,
+) -> KalmanResult:
+    """Exact RTS smoother for the same scalar LGSSM: per-step ``E[x_t | y_{0:T-1}]``
+    and smoothing variances.  The marginal law of PG/PGAS retained trajectories
+    is the smoothing distribution, so this is the oracle for trajectory-level
+    anchors (the filter above only anchors ``log Z`` and filtering means)."""
+    filt = kalman_filter(ys, a, b, q, h, r, mu0, sigma0)
+    qq = q * q
+
+    def back(carry, fm_fv):
+        sm_mean, sm_var = carry
+        fm, fv = fm_fv
+        pred_mean = a * fm + b
+        pred_var = a * a * fv + qq
+        g = fv * a / pred_var
+        mean = fm + g * (sm_mean - pred_mean)
+        var = fv + g * g * (sm_var - pred_var)
+        return (mean, var), (mean, var)
+
+    last = (filt.means[-1], filt.variances[-1])
+    _, (means, variances) = lax.scan(
+        back, last, (filt.means[:-1], filt.variances[:-1]), reverse=True
+    )
+    means = jnp.concatenate([means, filt.means[-1][None]])
+    variances = jnp.concatenate([variances, filt.variances[-1][None]])
+    return KalmanResult(
+        means=means, variances=variances, log_likelihood=filt.log_likelihood
+    )

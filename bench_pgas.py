@@ -1,0 +1,131 @@
+"""PGAS-at-scale benchmark: 1M-particle conditional sweeps on one TPU chip.
+
+The north star (BASELINE.md): PGAS with N=1M particles on a T=100 LGSSM —
+the full conditional sweep (reference slot masking + ancestor sampling,
+reference stack ``/root/reference/src/smc.jl:101-129`` +
+``/root/reference/src/pgas.jl:113-128``) PLUS the retained-trajectory draw and
+reconstruction, per iteration.  Runs with ``trajectory_storage="replay"``
+(genealogy compaction): the sweep stores only the [T, N] ancestor trace and the
+retained trajectory is re-sampled along its lineage from the positional RNG.
+
+Correctness anchor: retained trajectories are marginally distributed as the
+exact smoothing distribution, so the mean over iterations must approach the
+RTS smoother means (``utils.kalman_smoother``) within Monte-Carlo error.
+
+``vs_baseline`` scales the same native single-core C++ bootstrap sweep used by
+``bench.py`` to iterations/s (one PGAS iteration ≈ one N·T sweep): it answers
+"how many single-core-sweep-equivalents per second does the chip sustain".
+
+Prints ONE JSON line (sibling of bench.py's; recorded as PGAS_BENCH_r*.json).
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+N = 1_000_000
+T = 100
+A, Q, R = 0.9, 0.32, 1.0
+WARM_ITERS = 4
+BENCH_ITERS = 8
+ANCHOR_ITERS = 24
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/aps_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    import advancedps_tpu as aps
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    model = aps.models.stationary_lgssm(a=A, q=Q, r=R)
+    _, ys = aps.simulate(jax.random.key(0), model, T)
+    traced = aps.TracedSSM(model, ys)
+    sampler = aps.PGAS(N)
+
+    def chain(key, iters):
+        return aps.sample(
+            key, traced, sampler, iters, trajectory_storage="replay"
+        )
+
+    # compile + warm (the first conditional 1M sweep compiles for minutes cold;
+    # the persistent cache makes reruns ~seconds)
+    t0 = time.perf_counter()
+    warm = chain(jax.random.key(1), WARM_ITERS)
+    warm.log_evidence.block_until_ready()
+    log(f"compile+warm ({WARM_ITERS} iters): {time.perf_counter()-t0:.1f}s")
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        chain(jax.random.key(2 + i), BENCH_ITERS).log_evidence.block_until_ready()
+        times.append((time.perf_counter() - t0) / BENCH_ITERS)
+    per_iter = float(np.median(times))
+    rate = 1.0 / per_iter
+    log(f"per-iteration: {[f'{t*1e3:.1f}ms' for t in times]}  median {per_iter*1e3:.1f}ms")
+    log(f"throughput: {rate:.2f} PGAS(1M, T=100) iterations/s")
+
+    # --- anchor: mean retained trajectory vs exact RTS smoother -------------
+    sm = aps.utils.kalman_smoother(
+        np.asarray(ys), A, 0.0, Q, 1.0, R, 0.0, math.sqrt(Q * Q / (1 - A * A))
+    )
+    res = chain(jax.random.key(9), ANCHOR_ITERS)
+    trajs = np.asarray(res.trajectory)  # [iters, T]
+    est = trajs[WARM_ITERS:].mean(axis=0)
+    sd = np.sqrt(np.asarray(sm.variances))
+    z = (est - np.asarray(sm.means)) / (
+        sd / math.sqrt(trajs.shape[0] - WARM_ITERS)
+    )
+    # PGAS at N=1M mixes essentially perfectly; iterates are ~independent
+    # smoothing draws, so the per-step z-scores should look standard normal.
+    zrms = float(np.sqrt(np.mean(z * z)))
+    log(f"posterior-mean anchor: RMS z-score vs RTS smoother = {zrms:.2f}")
+    assert zrms < 3.0, "PGAS trajectories inconsistent with exact smoother"
+
+    lz_err = abs(float(res.log_evidence[-1]) - float(sm.log_likelihood))
+    log(f"final-iteration logZ error vs Kalman: {lz_err:.4f}")
+    assert lz_err < 1.0
+
+    from advancedps_tpu.ops import native
+
+    sigma0 = math.sqrt(Q * Q / (1 - A * A))
+    if native.available():
+        from bench import native_baseline_rate
+
+        base_rate = native_baseline_rate(np.asarray(ys), sigma0)  # particle-steps/s
+    else:
+        from bench import numpy_baseline_rate
+
+        base_rate = numpy_baseline_rate(np.asarray(ys))
+    base_iters = base_rate / (N * T)
+    log(f"native baseline: {base_iters*1e3:.2f} sweep-equivalent iters/s (x1e-3)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "pgas_1m_iterations_per_sec_per_chip",
+                "value": rate,
+                "unit": "iterations/s (N=1M, T=100, replay storage)",
+                "vs_baseline": rate / base_iters,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,3 +58,45 @@ def test_smc_filtering_moments_and_logz():
     exact_std = math.sqrt(float(kf.variances[-1]))
     assert abs(est_mean - exact_mean) < 0.25 * exact_std
     assert abs(float(out.log_evidence) - float(kf.log_likelihood)) < 0.5
+
+
+def test_rts_smoother_matches_dense_posterior():
+    # The RTS smoother (utils/kalman.py) is the oracle for PGAS trajectory
+    # anchors (bench_pgas.py): check it against the brute-force joint-Gaussian
+    # posterior of the stationary LGSSM, x ~ N(0, P), y = x + e.
+    A, Q, R, T = 0.9, 0.32, 1.0, 12
+    s0 = math.sqrt(Q * Q / (1 - A * A))
+    model = aps.models.stationary_lgssm(a=A, q=Q, r=R)
+    _, ys = aps.simulate(jax.random.key(0), model, T)
+    ysn = np.asarray(ys, dtype=np.float64)
+    idx = np.arange(T)
+    P = s0 * s0 * (A ** np.abs(idx[:, None] - idx[None, :]))
+    S = P + R * R * np.eye(T)
+    mean_post = P @ np.linalg.solve(S, ysn)
+    cov_post = P - P @ np.linalg.solve(S, P)
+    sm = aps.utils.kalman_smoother(ys, A, 0.0, Q, 1.0, R, 0.0, s0)
+    np.testing.assert_allclose(np.asarray(sm.means), mean_post, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sm.variances), np.diag(cov_post), atol=1e-4
+    )
+    # log-likelihood passthrough must equal the filter's
+    kf = aps.utils.kalman_filter(ys, A, 0.0, Q, 1.0, R, 0.0, s0)
+    assert float(sm.log_likelihood) == float(kf.log_likelihood)
+
+
+def test_pgas_trajectory_mean_matches_smoother():
+    # Retained PGAS trajectories are marginal smoothing draws: their mean over
+    # iterations must hit the RTS means within Monte-Carlo error (the
+    # trajectory-level analogue of the filtering-moments test above).
+    A, Q, R, T = 0.9, 0.32, 1.0, 10
+    s0 = math.sqrt(Q * Q / (1 - A * A))
+    model = aps.models.stationary_lgssm(a=A, q=Q, r=R)
+    _, ys = aps.simulate(jax.random.key(1), model, T)
+    traced = aps.TracedSSM(model, ys)
+    res = aps.sample(jax.random.key(9), traced, aps.PGAS(1024), 40)
+    tr = np.asarray(res.trajectory)[8:]
+    sm = aps.utils.kalman_smoother(ys, A, 0.0, Q, 1.0, R, 0.0, s0)
+    sd = np.sqrt(np.asarray(sm.variances))
+    z = (tr.mean(axis=0) - np.asarray(sm.means)) / (sd / math.sqrt(tr.shape[0]))
+    zrms = float(np.sqrt(np.mean(z * z)))
+    assert zrms < 3.0, f"PGAS trajectory mean off the exact smoother: {zrms}"
