@@ -36,7 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "decode_ancestors",
     "systematic_pallas",
+    "extents_from_logw",
     "resample_move",
+    "resample_move_f",
     "resample_move_window",
     "resample_move_window_fext",
     "move_eligible",
@@ -120,6 +122,105 @@ def systematic_pallas(u, weights, n: int, interpret: bool = False) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Extents prefix-scan: logw -> systematic-resampling extents in one pass
+# ---------------------------------------------------------------------------
+#
+# The decode kernels below consume ``f_j = clip(ceil(n·cdf_j − u), 0, n)`` with
+# ``cdf = cumsum(exp(logw − m)) / s1``.  XLA's 1M-element ``cumsum`` on TPU is
+# a multi-pass log-depth decomposition (~1.5 ms per firing — nearly half the
+# cost of the decode kernel itself); this kernel streams ``logw`` once and
+# emits ``f`` directly: exp, block prefix-sum (log-step lane/sublane shifts),
+# normalise, ceil — one 4 MB read + one 4 MB write.
+#
+# Precision: the block-internal prefix is log-step (pairwise-error class, like
+# XLA's); the cross-block running sum is Kahan-compensated in SMEM, so the
+# accumulated cdf error stays O(eps·log N) — occasional ±1 extent flips versus
+# the XLA formula at exact stratum boundaries are expected and statistically
+# immaterial (they shift one offspring between adjacent particles).
+
+_EX_SUB = 128  # sublane rows per block tile
+_EX_BLK = _EX_SUB * 128  # elements per grid step (grid-launch overhead bound)
+
+
+def _make_extents_kernel(nr: int):
+    def kernel(scal_ref, logw_ref, f_ref, carry_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[0] = 0.0  # running sum of exp(logw - m)
+            carry_ref[1] = 0.0  # Kahan compensation
+
+        m = scal_ref[0]
+        inv_s1 = scal_ref[1]
+        u = scal_ref[2]
+
+        e = jnp.exp(logw_ref[:].reshape(_EX_SUB, 128) - m)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_EX_SUB, 128), 1)
+        subl = jax.lax.broadcasted_iota(jnp.int32, (_EX_SUB, 1), 0)
+        # Inclusive prefix along lanes (row-local), then carry row totals
+        # down the sublanes: standard log-step scan, 7 + 7 masked shifts.
+        p = e
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            p = p + jnp.where(lane >= k, pltpu.roll(p, shift=k, axis=1), 0.0)
+        row_tot = jax.lax.slice(p, (0, 127), (_EX_SUB, 128))  # (_EX_SUB, 1)
+        rp = row_tot
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            rp = rp + jnp.where(subl >= k, pltpu.roll(rp, shift=k, axis=0), 0.0)
+        row_excl = jnp.where(subl == 0, 0.0, pltpu.roll(rp, shift=1, axis=0))
+        prefix = p + row_excl  # inclusive over the whole block
+
+        base = carry_ref[0]
+        cdf = (base + prefix) * inv_s1
+        f = jnp.clip(jnp.ceil(nr * cdf - u), 0.0, float(nr)).astype(jnp.int32)
+        f_ref[:] = f.reshape(_EX_BLK)
+
+        # Kahan-compensated running sum across blocks.
+        total = rp[_EX_SUB - 1, 0]
+        comp = carry_ref[1]
+        y = total - comp
+        t_new = base + y
+        carry_ref[1] = (t_new - base) - y
+        carry_ref[0] = t_new
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def extents_from_logw(logw, m, s1, u, n: int, interpret: bool = False):
+    """Systematic-resampling extents straight from unnormalised log-weights.
+
+    ``m`` = max(logw), ``s1`` = Σ exp(logw − m) (the engine's per-step fused
+    reduction family already produces both); ``u`` the stratum offset; ``n``
+    the number of positions drawn.  Returns nondecreasing int32 ``f`` with the
+    same contract as ``clip(ceil(n·cumsum(exp(logw−m))/s1 − u), 0, n)`` up to
+    cross-block summation-order ulps (±1 extent flips at exact boundaries).
+    """
+    mm = logw.shape[0]
+    pad = (-mm) % _EX_BLK
+    if pad:
+        # -inf pads contribute exp = 0 to every prefix.
+        logw = jnp.concatenate([logw, jnp.full((pad,), -jnp.inf, logw.dtype)])
+    scal = jnp.stack(
+        [m, 1.0 / s1, u]
+    ).astype(jnp.float32)
+    f = pl.pallas_call(
+        _make_extents_kernel(n),
+        grid=(logw.shape[0] // _EX_BLK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_EX_BLK,), lambda b: (b,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_EX_BLK,), lambda b: (b,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((logw.shape[0],), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
+        interpret=interpret,
+    )(scal, logw)
+    return f[:mm]
+
+
+# ---------------------------------------------------------------------------
 # Fused resample + state move
 # ---------------------------------------------------------------------------
 #
@@ -151,7 +252,13 @@ _MS = 512  # rows per mask sub-slice (bounds temp VMEM to [_MS, _MW])
 _MW = 1024  # output slots per grid step (f32/i32 1-D tile granularity)
 
 
-def _make_move_kernel(n_cols: int, _MC: int = _MC, _MS: int = _MS, _MW: int = _MW):
+def _make_move_kernel(
+    n_cols: int,
+    _MC: int = _MC,
+    _MS: int = _MS,
+    _MW: int = _MW,
+    census: bool = True,
+):
     """Kernel over ``win, f, v_0 … v_{n_cols-1}`` → ``anc, out_0 … out_{n_cols-1}``.
 
     All value columns are separate 1-D f32 arrays (a single ``[M, D]`` array with
@@ -207,41 +314,89 @@ def _make_move_kernel(n_cols: int, _MC: int = _MC, _MS: int = _MS, _MW: int = _M
                     # Every row has f ≤ base ≤ every slot: counts only.
                     return (accs[0] + _MS,) + accs[1:]
 
-                def not_consumed(accs):
-                    def live(accs):
-                        # c_{j,k} = (f_j ≤ k): ONE compare family per element.
-                        subb = sub[:, None] + jnp.zeros((_MS, _MW), jnp.int32)
-                        cle = (subb <= pos).astype(jnp.float32)
-                        # Row −1 of the telescope: the carried previous extent.
-                        prev_row = (prev_f <= pos_row).astype(jnp.float32)
-                        prev_rows = jnp.concatenate(
-                            [
-                                prev_row[None],
-                                jax.lax.slice(cle, (0, 0), (_MS - 1, _MW)),
-                            ],
+                def live(accs):
+                    # c_{j,k} = (f_j ≤ k): ONE compare family per element.
+                    subb = sub[:, None] + jnp.zeros((_MS, _MW), jnp.int32)
+                    cle = (subb <= pos).astype(jnp.float32)
+                    # Row −1 of the telescope: the carried previous extent.
+                    prev_row = (prev_f <= pos_row).astype(jnp.float32)
+                    prev_rows = jnp.concatenate(
+                        [
+                            prev_row[None],
+                            jax.lax.slice(cle, (0, 0), (_MS - 1, _MW)),
+                        ],
+                        axis=0,
+                    )
+                    own = prev_rows - cle  # {0,1}, exactly one 1 per column
+                    anc = accs[0] + jnp.sum(cle, axis=0).astype(jnp.int32)
+                    outs = tuple(
+                        acc
+                        + jnp.sum(
+                            own
+                            * jax.lax.slice(
+                                v, (s * _MS,), ((s + 1) * _MS,)
+                            )[:, None],
                             axis=0,
                         )
-                        own = prev_rows - cle  # {0,1}, exactly one 1 per column
-                        anc = accs[0] + jnp.sum(cle, axis=0).astype(jnp.int32)
+                        for acc, v in zip(accs[1:], vals)
+                    )
+                    return (anc,) + outs
+
+                def not_consumed(accs):
+                    # census=True: cheap 1-D census of this sub-slice against
+                    # the block bounds.  If NO extent falls inside
+                    # (base, block_end], every slot of the block gets the same
+                    # count contribution (cnt) and at most one owner row from
+                    # this sub-slice — the whole (MS × MW) compare collapses
+                    # to a broadcast.  This is what makes long offspring runs
+                    # (near-degenerate weights: one parent spanning many
+                    # blocks, e.g. PGAS reference-dominated firings) O(1) per
+                    # block instead of O(MS·MW): a run revisits its sub-slice
+                    # once per spanned block.  The census itself costs ~0.5 ms
+                    # per 1M-particle firing in scalar-branch overhead, a NET
+                    # LOSS on short-run weights (measured on v5e: 4.13 vs
+                    # 3.64 ms at gamma(1.0); 3.25 vs dense at 20-survivor
+                    # degenerate) — so the caller compiles BOTH variants and
+                    # picks per firing on the max offspring count.
+                    cnt = jnp.sum((sub <= base).astype(jnp.int32))
+                    cnt_end = jnp.sum((sub <= block_end).astype(jnp.int32))
+                    sub_iota = jax.lax.iota(jnp.int32, _MS)
+
+                    def uniform(accs):
+                        anc = accs[0] + cnt
+                        # Owner row r = cnt (first row with f > base); its
+                        # ownership of a slot k additionally needs the
+                        # previous extent ≤ k — automatic for r ≥ 1
+                        # (f_{r-1} ≤ base), the carried prev_f for r = 0.
+                        r = jnp.minimum(cnt, _MS - 1)
+                        thresh = jnp.where(cnt == 0, prev_f, 0)
+                        mask1d = (pos_row >= thresh).astype(jnp.float32)
+                        sel = (sub_iota == r).astype(jnp.float32)
                         outs = tuple(
                             acc
                             + jnp.sum(
-                                own
+                                sel
                                 * jax.lax.slice(
                                     v, (s * _MS,), ((s + 1) * _MS,)
-                                )[:, None],
-                                axis=0,
+                                )
                             )
+                            * mask1d
                             for acc, v in zip(accs[1:], vals)
                         )
                         return (anc,) + outs
 
-                    # Fully beyond the block (prev row already past its end):
-                    # no owners, no counts.
-                    do = prev_f <= block_end
-                    return jax.lax.cond(do, live, lambda a: a, accs)
+                    # uniform also covers the fully-beyond case (cnt == 0,
+                    # prev_f > block_end ⇒ mask1d ≡ 0, anc += 0).
+                    return jax.lax.cond(cnt == cnt_end, uniform, live, accs)
 
-                accs = jax.lax.cond(sub_last <= base, consumed, not_consumed, accs)
+                def not_consumed_plain(accs):
+                    # census=False: skip only the fully-beyond sub-slices.
+                    return jax.lax.cond(
+                        prev_f <= block_end, live, lambda a: a, accs
+                    )
+
+                branch = not_consumed if census else not_consumed_plain
+                accs = jax.lax.cond(sub_last <= base, consumed, branch, accs)
                 return sub_last, accs
 
             for s in range(_MC // _MS):
@@ -274,10 +429,11 @@ def _make_move_kernel(n_cols: int, _MC: int = _MC, _MS: int = _MS, _MW: int = _M
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "n_out", "interpret", "tiles")
+    jax.jit, static_argnames=("n", "n_out", "interpret", "tiles", "census")
 )
 def _resample_move_cols(
-    f, cols, n, start=None, n_out=None, interpret=False, tiles=None
+    f, cols, n, start=None, n_out=None, interpret=False, tiles=None,
+    census=True,
 ):
     """Fused run-length decode + value move (optionally over an output window).
 
@@ -318,7 +474,7 @@ def _resample_move_cols(
 
     n_cols = len(vs)
     outs = pl.pallas_call(
-        _make_move_kernel(n_cols, mc, ms, mw),
+        _make_move_kernel(n_cols, mc, ms, mw, census),
         grid=(n_pad // mw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
@@ -581,6 +737,42 @@ _MOVE_IMPLS = {1: _resample_move_cols, 3: _resample_move_cols_v3}
 DEFAULT_MOVE_VERSION = 1
 
 
+#: Offspring-run length above which the census kernel variant wins: a run
+#: spanning R output blocks re-walks its sub-slice R times in the dense
+#: variant (~1.2 us each) but once-per-block cheaply under the census.
+#: Measured crossover on v5e is broad; 4 blocks is safely past it.
+_CENSUS_RUN_THRESHOLD = 4 * _MW
+
+
+def resample_move_f(
+    f, state, n: int, interpret: bool = False, version: int = None
+):
+    """As :func:`resample_move`, but from precomputed extents ``f``
+    (e.g. the output of :func:`extents_from_logw` — skipping the XLA
+    normalise+cumsum chain entirely).
+
+    For the v1 kernel, BOTH census variants are compiled and the firing picks
+    one on the max offspring count (one diff+max pass over ``f``): the census
+    costs ~0.5 ms on short-run weights but collapses long runs to O(1) per
+    block (see the kernel comment).  Both produce identical results.
+    """
+    ver = version or DEFAULT_MOVE_VERSION
+    m = f.shape[0]
+    leaves, treedef, cols = _flatten_cols(state, m)
+    if ver == 1 and not interpret:
+        run_max = jnp.max(jnp.diff(f, prepend=jnp.zeros((1,), f.dtype)))
+        anc, ys = jax.lax.cond(
+            run_max >= _CENSUS_RUN_THRESHOLD,
+            lambda fc: _resample_move_cols(fc, cols, n, census=True),
+            lambda fc: _resample_move_cols(fc, cols, n, census=False),
+            f,
+        )
+    else:
+        anc, ys = _MOVE_IMPLS[ver](f, cols, n, interpret=interpret)
+    anc = jnp.clip(anc, 0, m - 1)
+    return anc, _unflatten_cols(leaves, treedef, ys, m, n)
+
+
 def resample_move(
     u, weights, state, n: int, interpret: bool = False, version: int = None
 ):
@@ -590,14 +782,10 @@ def resample_move(
     ``tree_map(lambda a: a[anc], state)`` exactly.  Caller must check
     :func:`move_eligible` first.
     """
-    impl = _MOVE_IMPLS[version or DEFAULT_MOVE_VERSION]
     m = weights.shape[0]
     cdf = jnp.cumsum(weights)
     f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
-    leaves, treedef, cols = _flatten_cols(state, m)
-    anc, ys = impl(f, cols, n, interpret=interpret)
-    anc = jnp.clip(anc, 0, m - 1)
-    return anc, _unflatten_cols(leaves, treedef, ys, m, n)
+    return resample_move_f(f, state, n, interpret=interpret, version=version)
 
 
 def resample_move_window_fext(

@@ -194,3 +194,86 @@ def test_v3_matches_v1_exactly(m, n):
     np.testing.assert_array_equal(np.asarray(anc1), np.asarray(anc2))
     np.testing.assert_array_equal(np.asarray(mv1["a"]), np.asarray(mv2["a"]))
     np.testing.assert_array_equal(np.asarray(mv1["b"]), np.asarray(mv2["b"]))
+
+
+# --- extents prefix-scan kernel ----------------------------------------------
+
+from advancedps_tpu.ops.pallas_resample import extents_from_logw
+
+
+@pytest.mark.parametrize("m,n", [(1000, 1000), (4096, 4096), (5000, 4999), (70, 70)])
+def test_extents_from_logw_matches_xla_formula(m, n):
+    rng = np.random.default_rng(m + n)
+    logw = jnp.asarray(rng.standard_normal(m).astype(np.float32) * 3)
+    mx = jnp.max(logw)
+    e = jnp.exp(logw - mx)
+    s1 = jnp.sum(e)
+    u = float(rng.random())
+    f_ref = np.asarray(
+        jnp.clip(jnp.ceil(n * (jnp.cumsum(e) / s1) - u), 0, n).astype(jnp.int32)
+    )
+    f = np.asarray(extents_from_logw(logw, mx, s1, u, n, interpret=True))
+    # Summation order differs (log-step block prefix + Kahan carry vs XLA's
+    # decomposition): allow ±1 flips at exact stratum boundaries, nothing more.
+    diff = np.abs(f.astype(np.int64) - f_ref.astype(np.int64))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01, (diff > 0).mean()
+    # Contract invariants: nondecreasing, in range.
+    assert (np.diff(f) >= 0).all()
+    assert f.min() >= 0 and f.max() <= n
+
+
+def test_extents_from_logw_degenerate_weight():
+    # One dominant particle: its extent jumps by ~n at its slot.
+    m = n = 2048
+    logw = jnp.full((m,), -30.0).at[777].set(5.0)
+    mx, e = jnp.max(logw), jnp.exp(logw - jnp.max(logw))
+    f = np.asarray(extents_from_logw(logw, mx, jnp.sum(e), 0.25, n, interpret=True))
+    assert f[776] == 0 and f[777] == n
+
+
+def test_extents_feed_move_kernel_consistently():
+    # End-to-end: extents kernel -> decode+move kernel must equal the gather
+    # of the state by the ancestors the same extents decode to.
+    m = n = 3000
+    rng = np.random.default_rng(5)
+    logw = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    mx, e = jnp.max(logw), jnp.exp(logw - jnp.max(logw))
+    from advancedps_tpu.ops.pallas_resample import resample_move_f
+
+    f = extents_from_logw(logw, mx, jnp.sum(e), 0.5, n, interpret=True)
+    anc, moved = resample_move_f(f, x, n, interpret=True)
+    np.testing.assert_array_equal(np.asarray(moved), np.asarray(x)[np.asarray(anc)])
+
+
+@pytest.mark.parametrize("census", [True, False])
+@pytest.mark.parametrize("weights", ["uniform", "skewed", "degenerate"])
+def test_census_variants_identical(census, weights):
+    # The census and dense kernel variants are alternative schedules of the
+    # same math: identical ancestors and bitwise-identical moved values on
+    # every weight profile (the engine picks between them per firing).
+    from advancedps_tpu.ops.pallas_resample import _resample_move_cols
+
+    m = n = 4096
+    rng = np.random.default_rng(3)
+    if weights == "uniform":
+        w = rng.gamma(1.0, size=m)
+    elif weights == "skewed":
+        w = rng.gamma(0.05, size=m)
+    else:
+        w = np.full(m, 1e-12)
+        w[rng.integers(m, size=5)] = 1.0
+    w = (w / w.sum()).astype(np.float32)
+    f = jnp.clip(
+        jnp.ceil(n * jnp.cumsum(jnp.asarray(w)) - 0.4), 0, n
+    ).astype(jnp.int32)
+    x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    anc_c, ys_c = _resample_move_cols(f, (x,), n, interpret=True, census=census)
+    anc_d, ys_d = _resample_move_cols(f, (x,), n, interpret=True, census=not census)
+    np.testing.assert_array_equal(np.asarray(anc_c), np.asarray(anc_d))
+    np.testing.assert_array_equal(np.asarray(ys_c[0]), np.asarray(ys_d[0]))
+    anc_ref = np.minimum(
+        np.searchsorted(np.asarray(f), np.arange(n), side="right"), m - 1
+    )
+    np.testing.assert_array_equal(np.clip(np.asarray(anc_c), 0, m - 1), anc_ref)
