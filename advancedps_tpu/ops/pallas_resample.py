@@ -257,7 +257,6 @@ def _make_move_kernel(
     _MC: int = _MC,
     _MS: int = _MS,
     _MW: int = _MW,
-    census: bool = True,
 ):
     """Kernel over ``win, f, v_0 … v_{n_cols-1}`` → ``anc, out_0 … out_{n_cols-1}``.
 
@@ -343,60 +342,22 @@ def _make_move_kernel(
                     return (anc,) + outs
 
                 def not_consumed(accs):
-                    # census=True: cheap 1-D census of this sub-slice against
-                    # the block bounds.  If NO extent falls inside
-                    # (base, block_end], every slot of the block gets the same
-                    # count contribution (cnt) and at most one owner row from
-                    # this sub-slice — the whole (MS × MW) compare collapses
-                    # to a broadcast.  This is what makes long offspring runs
-                    # (near-degenerate weights: one parent spanning many
-                    # blocks, e.g. PGAS reference-dominated firings) O(1) per
-                    # block instead of O(MS·MW): a run revisits its sub-slice
-                    # once per spanned block.  The census itself costs ~0.5 ms
-                    # per 1M-particle firing in scalar-branch overhead, a NET
-                    # LOSS on short-run weights (measured on v5e: 4.13 vs
-                    # 3.64 ms at gamma(1.0); 3.25 vs dense at 20-survivor
-                    # degenerate) — so the caller compiles BOTH variants and
-                    # picks per firing on the max offspring count.
-                    cnt = jnp.sum((sub <= base).astype(jnp.int32))
-                    cnt_end = jnp.sum((sub <= block_end).astype(jnp.int32))
-                    sub_iota = jax.lax.iota(jnp.int32, _MS)
-
-                    def uniform(accs):
-                        anc = accs[0] + cnt
-                        # Owner row r = cnt (first row with f > base); its
-                        # ownership of a slot k additionally needs the
-                        # previous extent ≤ k — automatic for r ≥ 1
-                        # (f_{r-1} ≤ base), the carried prev_f for r = 0.
-                        r = jnp.minimum(cnt, _MS - 1)
-                        thresh = jnp.where(cnt == 0, prev_f, 0)
-                        mask1d = (pos_row >= thresh).astype(jnp.float32)
-                        sel = (sub_iota == r).astype(jnp.float32)
-                        outs = tuple(
-                            acc
-                            + jnp.sum(
-                                sel
-                                * jax.lax.slice(
-                                    v, (s * _MS,), ((s + 1) * _MS,)
-                                )
-                            )
-                            * mask1d
-                            for acc, v in zip(accs[1:], vals)
-                        )
-                        return (anc,) + outs
-
-                    # uniform also covers the fully-beyond case (cnt == 0,
-                    # prev_f > block_end ⇒ mask1d ≡ 0, anc += 0).
-                    return jax.lax.cond(cnt == cnt_end, uniform, live, accs)
-
-                def not_consumed_plain(accs):
-                    # census=False: skip only the fully-beyond sub-slices.
+                    # Skip the fully-beyond sub-slices (prev_f > block_end ⇒
+                    # every row of this sub-slice owns only later slots).
+                    #
+                    # [A "census" variant that additionally collapsed
+                    # zero-extents-inside-the-block sub-slices to a broadcast
+                    # (long offspring runs) was removed after v5e measurement:
+                    # dense wins at EVERY degeneracy level — 4.79 vs 5.25 ms
+                    # at ESS/N=0.5, and even at 20-survivor weights (50k-slot
+                    # runs) 5.88 vs 6.49 ms — its per-sub-slice scalar census
+                    # and extra cond nesting cost more than the compares
+                    # saved; see profiling/autotune_move.py and git history.]
                     return jax.lax.cond(
                         prev_f <= block_end, live, lambda a: a, accs
                     )
 
-                branch = not_consumed if census else not_consumed_plain
-                accs = jax.lax.cond(sub_last <= base, consumed, branch, accs)
+                accs = jax.lax.cond(sub_last <= base, consumed, not_consumed, accs)
                 return sub_last, accs
 
             for s in range(_MC // _MS):
@@ -429,11 +390,10 @@ def _make_move_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "n_out", "interpret", "tiles", "census")
+    jax.jit, static_argnames=("n", "n_out", "interpret", "tiles")
 )
 def _resample_move_cols(
     f, cols, n, start=None, n_out=None, interpret=False, tiles=None,
-    census=True,
 ):
     """Fused run-length decode + value move (optionally over an output window).
 
@@ -474,7 +434,7 @@ def _resample_move_cols(
 
     n_cols = len(vs)
     outs = pl.pallas_call(
-        _make_move_kernel(n_cols, mc, ms, mw, census),
+        _make_move_kernel(n_cols, mc, ms, mw),
         grid=(n_pad // mw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
@@ -737,38 +697,16 @@ _MOVE_IMPLS = {1: _resample_move_cols, 3: _resample_move_cols_v3}
 DEFAULT_MOVE_VERSION = 1
 
 
-#: Offspring-run length above which the census kernel variant wins: a run
-#: spanning R output blocks re-walks its sub-slice R times in the dense
-#: variant (~1.2 us each) but once-per-block cheaply under the census.
-#: Measured crossover on v5e is broad; 4 blocks is safely past it.
-_CENSUS_RUN_THRESHOLD = 4 * _MW
-
-
 def resample_move_f(
     f, state, n: int, interpret: bool = False, version: int = None
 ):
     """As :func:`resample_move`, but from precomputed extents ``f``
     (e.g. the output of :func:`extents_from_logw` — skipping the XLA
-    normalise+cumsum chain entirely).
-
-    For the v1 kernel, BOTH census variants are compiled and the firing picks
-    one on the max offspring count (one diff+max pass over ``f``): the census
-    costs ~0.5 ms on short-run weights but collapses long runs to O(1) per
-    block (see the kernel comment).  Both produce identical results.
-    """
+    normalise+cumsum chain entirely)."""
     ver = version or DEFAULT_MOVE_VERSION
     m = f.shape[0]
     leaves, treedef, cols = _flatten_cols(state, m)
-    if ver == 1 and not interpret:
-        run_max = jnp.max(jnp.diff(f, prepend=jnp.zeros((1,), f.dtype)))
-        anc, ys = jax.lax.cond(
-            run_max >= _CENSUS_RUN_THRESHOLD,
-            lambda fc: _resample_move_cols(fc, cols, n, census=True),
-            lambda fc: _resample_move_cols(fc, cols, n, census=False),
-            f,
-        )
-    else:
-        anc, ys = _MOVE_IMPLS[ver](f, cols, n, interpret=interpret)
+    anc, ys = _MOVE_IMPLS[ver](f, cols, n, interpret=interpret)
     anc = jnp.clip(anc, 0, m - 1)
     return anc, _unflatten_cols(leaves, treedef, ys, m, n)
 

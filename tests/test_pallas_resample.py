@@ -247,12 +247,11 @@ def test_extents_feed_move_kernel_consistently():
     np.testing.assert_array_equal(np.asarray(moved), np.asarray(x)[np.asarray(anc)])
 
 
-@pytest.mark.parametrize("census", [True, False])
 @pytest.mark.parametrize("weights", ["uniform", "skewed", "degenerate"])
-def test_census_variants_identical(census, weights):
-    # The census and dense kernel variants are alternative schedules of the
-    # same math: identical ancestors and bitwise-identical moved values on
-    # every weight profile (the engine picks between them per firing).
+def test_move_weight_profiles(weights):
+    # The dense kernel must be exact on every weight profile — including
+    # degenerate ones with offspring runs spanning many output blocks (the
+    # regime a removed "census" variant specialised for; see git history).
     from advancedps_tpu.ops.pallas_resample import _resample_move_cols
 
     m = n = 4096
@@ -269,11 +268,9 @@ def test_census_variants_identical(census, weights):
         jnp.ceil(n * jnp.cumsum(jnp.asarray(w)) - 0.4), 0, n
     ).astype(jnp.int32)
     x = jnp.asarray(rng.standard_normal(m).astype(np.float32))
-    anc_c, ys_c = _resample_move_cols(f, (x,), n, interpret=True, census=census)
-    anc_d, ys_d = _resample_move_cols(f, (x,), n, interpret=True, census=not census)
-    np.testing.assert_array_equal(np.asarray(anc_c), np.asarray(anc_d))
-    np.testing.assert_array_equal(np.asarray(ys_c[0]), np.asarray(ys_d[0]))
+    anc_c, ys_c = _resample_move_cols(f, (x,), n, interpret=True)
     anc_ref = np.minimum(
         np.searchsorted(np.asarray(f), np.arange(n), side="right"), m - 1
     )
     np.testing.assert_array_equal(np.clip(np.asarray(anc_c), 0, m - 1), anc_ref)
+    np.testing.assert_array_equal(np.asarray(ys_c[0]), np.asarray(x)[anc_ref])
