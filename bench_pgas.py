@@ -64,21 +64,27 @@ def main():
         )
 
     # compile + warm (the first conditional 1M sweep compiles for minutes cold;
-    # the persistent cache makes reruns ~seconds)
+    # the persistent cache makes reruns ~seconds).  Warm with BENCH_ITERS so the
+    # timed calls hit the same compiled scan (a different iteration count is a
+    # different program).
     t0 = time.perf_counter()
-    warm = chain(jax.random.key(1), WARM_ITERS)
+    warm = chain(jax.random.key(1), BENCH_ITERS)
     warm.log_evidence.block_until_ready()
-    log(f"compile+warm ({WARM_ITERS} iters): {time.perf_counter()-t0:.1f}s")
+    log(f"compile+warm ({BENCH_ITERS} iters): {time.perf_counter()-t0:.1f}s")
 
     times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         chain(jax.random.key(2 + i), BENCH_ITERS).log_evidence.block_until_ready()
         times.append((time.perf_counter() - t0) / BENCH_ITERS)
     per_iter = float(np.median(times))
+    best = float(np.min(times))
     rate = 1.0 / per_iter
-    log(f"per-iteration: {[f'{t*1e3:.1f}ms' for t in times]}  median {per_iter*1e3:.1f}ms")
-    log(f"throughput: {rate:.2f} PGAS(1M, T=100) iterations/s")
+    log(f"per-iteration: {[f'{t*1e3:.1f}ms' for t in times]}  "
+        f"median {per_iter*1e3:.1f}ms  best {best*1e3:.1f}ms")
+    log(f"throughput: {rate:.2f} PGAS(1M, T=100) iterations/s "
+        f"(best-window {1.0/best:.2f}/s; the shared remote chip shows "
+        f"intermittent contention on multi-second dispatches)")
 
     # --- anchor: mean retained trajectory vs exact RTS smoother -------------
     sm = aps.utils.kalman_smoother(

@@ -11,8 +11,19 @@ virtual CPU devices (`--platform cpu`, faking 8 devices) — that validates the
 collective code paths and the harness itself; CPU-mesh timings are *not*
 performance-representative (all "devices" share host cores).
 
+Two modes:
+
+* ``--mode weak`` (default): fixed particles PER DEVICE, growing total — the
+  classic weak-scaling curve.  Meaningful on real chips; on the virtual CPU
+  mesh it mostly measures the host running K× the work on the same cores.
+* ``--mode overhead``: fixed TOTAL particles, growing device count — on the
+  virtual CPU mesh the total compute is constant, so any slowdown vs 1 device
+  IS the partitioning + collective overhead of the sharded sweep.  This is the
+  honest single-host proxy for scaling quality: efficiency = t(1)/t(K).
+
 Usage:
-    python bench_scaling.py [--platform cpu|tpu] [--per-device 65536] [--steps 50]
+    python bench_scaling.py [--platform cpu|tpu] [--mode weak|overhead]
+                            [--per-device 65536] [--steps 50]
 """
 
 import argparse
@@ -25,7 +36,10 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    p.add_argument("--mode", default="weak", choices=["weak", "overhead"])
     p.add_argument("--per-device", type=int, default=65536)
+    p.add_argument("--total", type=int, default=262144,
+                   help="total particles in --mode overhead")
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument(
@@ -61,7 +75,7 @@ def main():
 
     results = {}
     for k in sizes:
-        n = args.per_device * k
+        n = args.per_device * k if args.mode == "weak" else args.total
         mesh = particle_mesh(k)
         sampler = aps.PGAS(n)
 
@@ -84,34 +98,60 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         rate = n * args.steps / dt
         results[k] = rate
-        eff = rate / (results[1] * k) if 1 in results else 1.0
+        if 1 not in results:
+            eff = 1.0
+        elif args.mode == "weak":
+            eff = rate / (results[1] * k)
+        else:
+            eff = rate / results[1]
         print(
             f"devices={k:2d}  N={n:>9,}  {dt*1e3:8.1f} ms/iter  "
-            f"{rate/1e6:8.1f} M particle-steps/s  weak-eff={eff:5.1%}",
+            f"{rate/1e6:8.1f} M particle-steps/s  eff={eff:5.1%}",
             file=sys.stderr,
         )
 
     top = max(sizes)
-    record = {
-        "metric": f"pgas_weak_scaling_eff_{top}dev_{args.platform}",
-        "value": results[top] / (results[1] * top),
-        "unit": "efficiency",
-        "per_device_particles": args.per_device,
-        "steps": args.steps,
-        "exchange": args.exchange,
-        "particle_steps_per_sec_by_devices": {
-            str(k): results[k] for k in sizes
-        },
-        "weak_efficiency_by_devices": {
-            str(k): results[k] / (results[1] * k) for k in sizes
-        },
-        "note": (
-            "CPU-mesh timings validate collective code paths, not hardware "
-            "performance (virtual devices share host cores)"
-            if args.platform == "cpu"
-            else "real-chip ICI scaling"
-        ),
-    }
+    if args.mode == "weak":
+        record = {
+            "metric": f"pgas_weak_scaling_eff_{top}dev_{args.platform}",
+            "value": results[top] / (results[1] * top),
+            "unit": "efficiency",
+            "per_device_particles": args.per_device,
+            "steps": args.steps,
+            "exchange": args.exchange,
+            "particle_steps_per_sec_by_devices": {
+                str(k): results[k] for k in sizes
+            },
+            "weak_efficiency_by_devices": {
+                str(k): results[k] / (results[1] * k) for k in sizes
+            },
+            "note": (
+                "CPU-mesh timings validate collective code paths, not hardware "
+                "performance (virtual devices share host cores)"
+                if args.platform == "cpu"
+                else "real-chip ICI scaling"
+            ),
+        }
+    else:
+        record = {
+            "metric": f"pgas_sharding_overhead_eff_{top}dev_{args.platform}",
+            "value": results[top] / results[1],
+            "unit": "efficiency (t_1dev / t_Kdev at fixed total N)",
+            "total_particles": args.total,
+            "steps": args.steps,
+            "exchange": args.exchange,
+            "particle_steps_per_sec_by_devices": {
+                str(k): results[k] for k in sizes
+            },
+            "overhead_efficiency_by_devices": {
+                str(k): results[k] / results[1] for k in sizes
+            },
+            "note": (
+                "fixed total particles on one host: constant compute, so "
+                "efficiency < 1 is exactly the partitioning + collective "
+                "overhead of the sharded sweep"
+            ),
+        }
     line = json.dumps(record)
     if args.out:
         with open(args.out, "w") as fh:
