@@ -28,16 +28,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def prior_round_value(metric: str):
+def prior_round_value(metric: str, min_round: int = 0):
     """Best recorded value of ``metric`` across the driver's BENCH_r*.json
     artifacts — the ratchet: regressions vs ANY prior round must be loud
     (round 2 regressed 2.2x vs round 1 silently; comparing only to the
-    immediately-prior round would have normalised that)."""
+    immediately-prior round would have normalised that).
+
+    ``min_round`` excludes rounds measured under a different methodology:
+    rounds 1-2 timed one blocking dispatch per sweep (~21 ms of axon-tunnel
+    RTT inside every measurement), round 3+ time batched steady-state device
+    throughput — not apples-to-apples (ADVICE r3)."""
     here = os.path.dirname(os.path.abspath(__file__))
     best_round, best_val = -1, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
+        if not m or int(m.group(1)) < min_round:
             continue
         try:
             with open(path) as fh:
@@ -57,8 +62,8 @@ def prior_round_value(metric: str):
     return best_round, best_val
 
 
-def ratchet(metric: str, value: float):
-    rnd, prev = prior_round_value(metric)
+def ratchet(metric: str, value: float, min_round: int = 0):
+    rnd, prev = prior_round_value(metric, min_round)
     if prev is None:
         log(f"ratchet: no prior round recorded for {metric}")
         return
@@ -198,13 +203,19 @@ def main():
     def run_batch(keys):
         return jax.lax.map(run, keys)
 
-    keys = jax.random.split(jax.random.key(7), K)
-    lzs = run_batch(keys)  # compile + warmup
+    def batch_keys(rep: int):
+        return jax.random.split(jax.random.fold_in(jax.random.key(7), rep), K)
+
+    lzs = run_batch(batch_keys(0))  # compile + warmup
     lzs.block_until_ready()
     batch_times = []
-    for _ in range(3):
+    # Fresh keys per repetition: docs/design.md warns the axon tunnel memoises
+    # repeated identical dispatches, which would turn the headline into a cache
+    # artifact (ADVICE r3).
+    for rep in range(1, 4):
+        keys_r = batch_keys(rep)
         t0 = time.perf_counter()
-        run_batch(keys).block_until_ready()
+        run_batch(keys_r).block_until_ready()
         batch_times.append((time.perf_counter() - t0) / K)
     dt = float(np.median(batch_times))
     rate = N * T / dt
@@ -221,7 +232,9 @@ def main():
         np_rate = numpy_baseline_rate(np.asarray(ys))
         log(f"numpy baseline: {np_rate/1e6:.1f} M particle-steps/s")
 
-    ratchet("lgssm_sweep_particle_steps_per_sec_per_chip", rate)
+    # min_round=3: steady-state batched methodology begins at round 3; earlier
+    # rounds' per-dispatch numbers include tunnel RTT and are not comparable.
+    ratchet("lgssm_sweep_particle_steps_per_sec_per_chip", rate, min_round=3)
     print(
         json.dumps(
             {

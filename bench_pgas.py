@@ -94,16 +94,21 @@ def main():
     # recompile the whole conditional sweep — minutes over the tunnel): run
     # independent short chains and pool their post-burn-in iterates.
     n_chains = -(-ANCHOR_ITERS // (BENCH_ITERS - WARM_ITERS))
-    pooled = []
+    chain_means = []
     for c in range(n_chains):
         res = chain(jax.random.fold_in(jax.random.key(9), c), BENCH_ITERS)
-        pooled.append(np.asarray(res.trajectory)[WARM_ITERS:])  # [iters-4, T]
-    trajs = np.concatenate(pooled, axis=0)
-    est = trajs.mean(axis=0)
+        chain_means.append(np.asarray(res.trajectory)[WARM_ITERS:].mean(axis=0))
+    cm = np.stack(chain_means)  # [n_chains, T]
+    est = cm.mean(axis=0)
+    # Standard error from the n_chains INDEPENDENT chain means: within-chain
+    # iterates are autocorrelated, so pooling all iterates as independent would
+    # understate the SE and make the zrms gate flaky (ADVICE r3).  The posterior
+    # sd/sqrt(iters) floor guards the degenerate perfect-mixing case where the
+    # between-chain variance estimate itself is noisy at n_chains ~ 6.
     sd = np.sqrt(np.asarray(sm.variances))
-    z = (est - np.asarray(sm.means)) / (sd / math.sqrt(trajs.shape[0]))
-    # PGAS at N=1M mixes essentially perfectly; iterates are ~independent
-    # smoothing draws, so the per-step z-scores should look standard normal.
+    se_chains = cm.std(axis=0, ddof=1) / math.sqrt(cm.shape[0])
+    se = np.maximum(se_chains, sd / math.sqrt(cm.shape[0] * (BENCH_ITERS - WARM_ITERS)))
+    z = (est - np.asarray(sm.means)) / se
     zrms = float(np.sqrt(np.mean(z * z)))
     log(f"posterior-mean anchor: RMS z-score vs RTS smoother = {zrms:.2f}")
     assert zrms < 3.0, "PGAS trajectories inconsistent with exact smoother"
