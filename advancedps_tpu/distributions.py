@@ -420,6 +420,46 @@ class Poisson(Distribution):
             jnp.result_type(float)
         )
 
+    def sample_positional(self, key, gids):
+        """Counted inverse-CDF from ONE positional uniform (round-3 verdict
+        #9): walk the pmf recurrence ``p_{k+1} = p_k·λ/(k+1)`` until the
+        running cdf passes ``u`` — one cipher block per element instead of the
+        per-gid ``fold_in`` + vmapped rejection fallback.  Iteration count is
+        ``max(λ) + O(√λ)`` (vector-wide), fine for the moderate rates SSM
+        likelihoods use.  For λ ≳ 87 the f32 ``exp(−λ)`` seed underflows; a
+        traced any()-gate falls back to the per-gid path for the whole batch
+        on such inputs (both paths are positional)."""
+        from . import rng as rngmod
+
+        gids = jnp.asarray(gids)
+        dt = jnp.result_type(float)
+        r = jnp.broadcast_to(jnp.asarray(self.rate, dt), gids.shape)
+        u = rngmod.pos_uniform(key, gids)
+        p0 = jnp.exp(-r)
+
+        def counting(_):
+            kmax = jnp.asarray(65536.0, dt)  # runaway guard, never hit for λ<87
+
+            def cond(c):
+                k, p, csum, kout = c
+                return jnp.any(u >= csum) & (k < kmax)
+
+            def body(c):
+                k, p, csum, kout = c
+                kout = jnp.where(u >= csum, k + 1.0, kout)
+                p = p * r / (k + 1.0)
+                return k + 1.0, p, csum + p, kout
+
+            _, _, _, kout = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0.0, dt), p0, p0, jnp.zeros_like(u))
+            )
+            return kout
+
+        def fallback(_):
+            return Distribution.sample_positional(self, key, gids)
+
+        return jax.lax.cond(jnp.all(p0 > 0), counting, fallback, None)
+
     def log_prob(self, x):
         r = jnp.asarray(self.rate, dtype=jnp.result_type(float))
         x = jnp.asarray(x)
@@ -444,6 +484,23 @@ class Categorical(Distribution):
         shape = self._full_shape(sample_shape)
         logits = jnp.log(jnp.asarray(self.probs, dtype=jnp.result_type(float)))
         return jax.random.categorical(key, logits, shape=shape)
+
+    def sample_positional(self, key, gids):
+        """Inverse-CDF from ONE positional uniform: ``idx = #{k : cdf_k ≤ u}``
+        — K vectorised compares per element (round-3 verdict #9), replacing
+        the per-gid ``fold_in`` + vmapped Gumbel fallback.  ``u`` is scaled by
+        the total mass so unnormalised ``probs`` draw correctly (matching
+        ``jax.random.categorical``'s normalisation semantics, though the two
+        use different inversions so the *draws* differ — both are exact)."""
+        from . import rng as rngmod
+
+        gids = jnp.asarray(gids)
+        p = jnp.asarray(self.probs, dtype=jnp.result_type(float))
+        cdf = jnp.cumsum(p, axis=-1)
+        u = rngmod.pos_uniform(key, gids) * cdf[..., -1]
+        return jnp.sum(
+            (u[..., None] >= cdf[..., :-1]).astype(jnp.int32), axis=-1
+        )
 
     def log_prob(self, x):
         p = jnp.asarray(self.probs, dtype=jnp.result_type(float))

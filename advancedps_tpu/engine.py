@@ -221,6 +221,15 @@ def sweep(
     # available, and compute one (max, Σe, Σe²) reduction family per step that
     # also feeds the softmax and the ESS gate.  At 1M particles this removes
     # ~3 full passes over the weights per step.
+    #
+    # Always-resample specialization: with ``threshold >= 1.0`` (the PGAS
+    # default, reference ``/root/reference/src/smc.jl:99``) the gate is
+    # statically true (ESS <= N always), so the ``lax.cond`` — whose [N]-state
+    # operands and results XLA must keep copy-consistent across both branches —
+    # and the carried ``pending`` base are elided at trace time (``pending`` is
+    # the constant ``log n``).  The ESS diagnostic stays exact: Σe² fuses into
+    # the same elementwise pass as Σe.
+    always_resample = float(resampler.threshold) >= 1.0
 
     def body(carry, t):
         state, logw, log_z, pending = carry
@@ -235,7 +244,9 @@ def sweep(
 
         # ---- ESS gate (reference ``/root/reference/src/container.jl:233-251``).
         ess = (s1 * s1) / s2
-        do_rs = ess <= resampler.threshold * n
+        do_rs = jnp.asarray(True) if always_resample else (
+            ess <= resampler.threshold * n
+        )
 
         # ---- resample under lax.cond: the ancestor computation and the state
         # gather only execute on steps where the gate fires (the jit-compatible
@@ -307,10 +318,14 @@ def sweep(
             return iota, state, logw
 
         with jax.named_scope("aps_resample"):
-            anc, state_rs, logw_pre = lax.cond(
-                do_rs, resample_branch, skip_branch, (state, logw)
-            )
-        pending_new = jnp.where(do_rs, ln_n, lse)
+            if always_resample:
+                anc, state_rs, logw_pre = resample_branch((state, logw))
+                pending_new = pending  # statically ln_n every step
+            else:
+                anc, state_rs, logw_pre = lax.cond(
+                    do_rs, resample_branch, skip_branch, (state, logw)
+                )
+                pending_new = jnp.where(do_rs, ln_n, lse)
 
         # ---- propagate + score: the fused hot kernel
         # (reference hot loop /root/reference/src/container.jl:259-302 +

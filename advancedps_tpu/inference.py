@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from . import rng as rngmod
-from .engine import reconstruct, replay_trajectory, sweep
+from .engine import SweepKernel, reconstruct, replay_trajectory, sweep
 from .generic import GenericModel, GenericSSMKernel
 from .pg import PG, PGAS, PGSample, PGState
 from .resampling import randcat_gumbel
@@ -32,14 +32,24 @@ __all__ = ["make_kernel", "sample_smc", "step_pg", "sample_pg", "sample"]
 
 def make_kernel(model):
     """Model → sweep kernel (the architectural fork of SURVEY.md §1: structured SSM
-    path vs generic-program path)."""
+    path vs generic-program path).
+
+    A :class:`~advancedps_tpu.engine.SweepKernel` instance passes through
+    unchanged — the host-PPL integration surface (the analogue of the
+    reference's Turing.jl extension driving PG/SMC for external models,
+    ``/root/reference/ext/AdvancedPSLibtaskExt.jl:165-233``): any external
+    model representation adapted to the protocol gets every sampler/driver in
+    this module for free.  See ``examples/host_ppl_adapter.py``.
+    """
+    if isinstance(model, SweepKernel):
+        return model
     if isinstance(model, TracedSSM):
         return SSMKernel(ssm=model)
     if isinstance(model, GenericModel):
         return GenericSSMKernel(model=model)
     raise TypeError(
         f"cannot build a sweep kernel for {type(model).__name__}; expected "
-        "TracedSSM or GenericModel"
+        "TracedSSM, GenericModel, or a SweepKernel implementation"
     )
 
 

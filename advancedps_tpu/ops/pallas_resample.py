@@ -646,6 +646,199 @@ def _resample_move_cols_v3(f, cols, n, start=None, n_out=None, interpret=False):
     return anc, tuple(o[:n_out] for o in outs[1:])
 
 
+# ---------------------------------------------------------------------------
+# v4: per-tile merge walk + MXU move
+# ---------------------------------------------------------------------------
+#
+# v1 (the round-3 default) compares every live 512-row input sub-slice against
+# all 1024 slots of the output block — ~1.3k compares per output slot, 3.6 ms
+# per 1M-particle firing on v5e, ~70x above the ~16 MB HBM roofline.  v3 cut
+# the compare volume 8x by windowing but lost to its own lowering (per-chunk
+# transposes, 64 scalar ``pl.when`` gates, VMEM read-modify-write).  v4 keeps
+# the windowed O(N·128/lanes) compare volume and fixes the lowering:
+#
+# * the unit of work is a (128-row window x 128-slot tile) FIRE inside a
+#   per-tile ``while_loop`` merge: windows and slots advance together (both
+#   sorted), so the loop runs ~1-2 fires per tile instead of scanning an 8x8
+#   grid of scalar gates;
+# * the owner mask is built with TWO compares and no telescoping chain:
+#   ``own[j, k] = (f_{j-1} <= k) & (k < f_j)``, with ``f_{j-1}`` a one-row
+#   sublane roll of the window column seeded by the carried previous extent;
+# * ancestor index and ALL moved value columns come out of ONE MXU matmul,
+#   ``[rowid; v_0 ...] (1+C, 128) @ own (128, 128) -> (1+C, 128)``,
+#   accumulated in registers (the while carry) and written once per tile.
+#
+# Exactness: ``own`` has at most one nonzero row per slot, so every output
+# column of the matmul is ``0 + ... + v_j + ... + 0`` — an exact f32 copy
+# under any accumulation order, including the MXU's f32 (bf16x3) path, whose
+# splitting is exact for multiplicands 0.0/1.0.  The ancestor row accumulates
+# integer row ids < 2^24 in f32, also exact (guarded in the wrapper).
+# Value rows ride the same lane layout as the 1-D inputs (no transpose); only
+# the 128-extent window is transposed to a sublane column per fire.
+
+_V4_SUB = 128  # rows per window == slots per tile (lane width)
+_V4_BLK = 1024  # slots per grid step (8 tiles)
+_V4_CHUNK = 1024  # load granularity (1-D VMEM alignment requirement)
+
+
+def _make_move_kernel_v4(n_cols: int):
+    """Kernel over ``win, f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
+
+    1-D layouts as v1/v3; ``win`` (SMEM int32[3]) = (output-window start,
+    initial window pointer in 128-row units, extent of the last row before
+    that window).  SMEM carry: (window pointer, previous extent).
+    """
+
+    def kernel(*refs):
+        win_ref = refs[0]
+        f_ref = refs[1]
+        v_refs = refs[2 : 2 + n_cols]
+        anc_ref = refs[2 + n_cols]
+        out_refs = refs[3 + n_cols : 3 + 2 * n_cols]
+        carry_ref = refs[-1]
+
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[0] = win_ref[1]  # window pointer (units of _V4_SUB rows)
+            carry_ref[1] = win_ref[2]  # extent of the last row before it
+
+        base = win_ref[0] + b * _V4_BLK
+        nwin = f_ref.shape[0] // _V4_SUB
+        nsub = _V4_CHUNK // _V4_SUB  # 128-row windows per 1024-row chunk
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _V4_SUB), 1)
+        subl = jax.lax.broadcasted_iota(jnp.int32, (_V4_SUB, 1), 0)
+
+        wptr = carry_ref[0]
+        prev_f = carry_ref[1]
+
+        def window(ref, wptr):
+            # 1-D i32/f32 VMEM loads must be 1024-aligned: load the whole
+            # chunk (4 vregs) and extract window ``wptr % 8`` with static
+            # selects (a register op; dynamic sublane slices don't lower).
+            off = pl.multiple_of((wptr // nsub) * _V4_CHUNK, _V4_CHUNK)
+            chunk = ref[pl.ds(off, _V4_CHUNK)].reshape(nsub, _V4_SUB)
+            s = wptr % nsub
+            row = chunk[0:1]
+            for i in range(1, nsub):
+                row = jnp.where(s == i, chunk[i : i + 1], row)
+            return row  # (1, _V4_SUB)
+
+        for t in range(_V4_BLK // _V4_SUB):
+            tbase = base + t * _V4_SUB
+            tend = tbase + _V4_SUB - 1
+            pos = tbase + lane  # (1, 128) slot ids on lanes
+
+            def cond(c):
+                return c[-1]
+
+            def body(c, tbase=tbase, tend=tend, pos=pos):
+                wptr, prev_f, acc, _ = c
+                fwin = window(f_ref, wptr)  # (1, 128)
+                last = fwin[0, _V4_SUB - 1]
+
+                def fire(acc):
+                    fcol = jnp.transpose(fwin)  # (128, 1)
+                    fprev = jnp.where(
+                        subl == 0, prev_f, pltpu.roll(fcol, shift=1, axis=0)
+                    )
+                    own = ((fprev <= pos) & (pos < fcol)).astype(jnp.float32)
+                    rowid = (wptr * _V4_SUB + lane).astype(jnp.float32)
+                    rows = [rowid] + [window(v_ref, wptr) for v_ref in v_refs]
+                    lhs = rows[0] if n_cols == 0 else jnp.concatenate(rows, 0)
+                    # Precision.HIGHEST: the MXU's default f32 path is a single
+                    # bf16 pass, which truncates row ids > 255 and the moved
+                    # values; the 6-pass f32 emulation is exact here (every
+                    # product is 0·x or 1·x and each output sums one nonzero).
+                    return acc + jax.lax.dot_general(
+                        lhs,
+                        own,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+                # Fire only when the window owns slots in this tile (rows with
+                # f <= tbase own only earlier slots).
+                acc = jax.lax.cond(last > tbase, fire, lambda a: a, acc)
+                adv = last <= tend  # window can own nothing beyond this tile
+                more = adv & (wptr + 1 < nwin)
+                wptr_n = jnp.where(more, wptr + 1, wptr)
+                prev_n = jnp.where(more, last, prev_f)
+                return wptr_n, prev_n, acc, more
+
+            acc0 = jnp.zeros((1 + n_cols, _V4_SUB), jnp.float32)
+            wptr, prev_f, acc, _ = jax.lax.while_loop(
+                cond, body, (wptr, prev_f, acc0, jnp.asarray(True))
+            )
+            sl = slice(t * _V4_SUB, (t + 1) * _V4_SUB)
+            anc_ref[sl] = acc[0].astype(jnp.int32)
+            for o, r in zip(out_refs, range(1, 1 + n_cols)):
+                o[sl] = acc[r]
+
+        carry_ref[0] = wptr
+        carry_ref[1] = prev_f
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
+def _resample_move_cols_v4(f, cols, n, start=None, n_out=None, interpret=False):
+    """v4 fused decode+move (see block comment above): same contract as
+    :func:`_resample_move_cols` — identical ancestors and bitwise-identical
+    moved values for identical inputs."""
+    m = f.shape[0]
+    windowed = n_out is not None
+    if not windowed:
+        n_out = n
+    # >= 1 sentinel row: slots past the population decode to the first
+    # sentinel row (clipped to m-1 by the caller) with moved value 0, and the
+    # merge can never run out of windows before the last tile.  Chunk-granular
+    # padding: the kernel loads whole 1024-element chunks.
+    pad_in = (-m) % _V4_CHUNK or _V4_CHUNK
+    if m + pad_in >= (1 << 24):
+        raise ValueError("v4 kernel requires m + pad < 2^24 for exact f32 row ids")
+    n_pad = -(-n_out // _V4_BLK) * _V4_BLK
+    sentinel = jnp.int32(1 << 30)
+    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
+    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
+    zpad = jnp.zeros((pad_in,), jnp.float32)
+    vs = [jnp.concatenate([c.astype(jnp.float32), zpad]) for c in cols]
+
+    if windowed:
+        start = jnp.asarray(start, jnp.int32)
+        # First 128-row window holding a row with f > start; its merge seed is
+        # the extent just before it (rows below own only slots < start).
+        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
+        ptr0 = j0 // _V4_SUB
+        prev0 = jnp.where(
+            ptr0 > 0, f_p[jnp.maximum(ptr0 * _V4_SUB - 1, 0)], jnp.int32(0)
+        )
+        win = jnp.stack([start, ptr0, prev0])
+    else:
+        win = jnp.zeros((3,), jnp.int32)
+
+    n_cols = len(vs)
+    outs = pl.pallas_call(
+        _make_move_kernel_v4(n_cols),
+        grid=(n_pad // _V4_BLK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
+        out_specs=[
+            pl.BlockSpec((_V4_BLK,), lambda b: (b,), memory_space=pltpu.VMEM)
+        ]
+        * (1 + n_cols),
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
+        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        interpret=interpret,
+    )(win, f_p, *vs)
+    anc = outs[0][:n_out]
+    return anc, tuple(o[:n_out] for o in outs[1:])
+
+
 # VMEM budget: f and the D state columns (plus the [_MS, _MW] mask temporaries)
 # must fit on-chip; cap total input elements under the ~16 MB VMEM of a v5e core.
 _MOVE_MAX_ELEMS = 3_000_000  # f32 elements across f + state columns
@@ -693,7 +886,11 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
 #: compare-volume reduction is eaten by its per-chunk transposes, 64 scalar
 #: ``pl.when`` gates and VMEM read-modify-write accumulation, so the dense
 #: staircase remains the default.  v3 is kept as the windowing testbed.
-_MOVE_IMPLS = {1: _resample_move_cols, 3: _resample_move_cols_v3}
+_MOVE_IMPLS = {
+    1: _resample_move_cols,
+    3: _resample_move_cols_v3,
+    4: _resample_move_cols_v4,
+}
 DEFAULT_MOVE_VERSION = 1
 
 

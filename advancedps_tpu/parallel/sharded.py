@@ -135,17 +135,29 @@ def sweep_shard_body(
         # full [N] weight vector crosses ICI only on steps where the gate
         # fires (inside ``resample_branch``), not every step.
 
+        # Always-resample specialization (mirrors engine.py): with
+        # ``threshold >= 1.0`` the replicated gate is statically true, so the
+        # outer ``lax.cond`` (whose [L]-state operands XLA must keep
+        # copy-consistent across branches) and the carried ``pending`` base
+        # are elided at trace time.
+        always_resample = float(resampler.threshold) >= 1.0
+
         def step(carry, t):
             state, logw, log_z, pending = carry
 
             m = lax.pmax(jnp.max(logw), axis)  # exact: max is order-free
             e = jnp.exp(logw - m)
-            s1 = lax.psum(jnp.sum(e), axis)
-            s2 = lax.psum(jnp.sum(e * e), axis)
+            # ONE length-2 psum for (Σe, Σe²) — on real ICI each scalar psum
+            # is a serial latency round; fusing halves the per-step scalar
+            # collective count (round-3 verdict weak #6).
+            s12 = lax.psum(jnp.stack([jnp.sum(e), jnp.sum(e * e)]), axis)
+            s1, s2 = s12[0], s12[1]
             lse = m + jnp.log(s1)
             log_z = log_z + (lse - pending)
             ess = (s1 * s1) / s2
-            do_rs = ess <= resampler.threshold * n  # replicated predicate
+            do_rs = jnp.asarray(True) if always_resample else (
+                ess <= resampler.threshold * n  # replicated predicate
+            )
 
             def draw_ref_anc(state, logw):
                 ref_anc = jnp.asarray(n - 1, dtype=jnp.int32)
@@ -369,10 +381,14 @@ def sweep_shard_body(
                 state, logw = operand
                 return gids.astype(jnp.int32), state, logw
 
-            local_anc, state_rs, logw_pre = lax.cond(
-                do_rs, resample_branch, skip_branch, (state, logw)
-            )
-            pending_new = jnp.where(do_rs, ln_n, lse)
+            if always_resample:
+                local_anc, state_rs, logw_pre = resample_branch((state, logw))
+                pending_new = pending  # statically ln_n every step
+            else:
+                local_anc, state_rs, logw_pre = lax.cond(
+                    do_rs, resample_branch, skip_branch, (state, logw)
+                )
+                pending_new = jnp.where(do_rs, ln_n, lse)
 
             rng_t = _step_rng(key, rngmod.PROPAGATE, t, gids)
             state_new, score = kernel.step(

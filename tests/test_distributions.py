@@ -133,3 +133,96 @@ def test_vmap_over_distribution_params():
     got = jax.vmap(lp)(locs)
     want = np.array([st.norm(l, 1.0).logpdf(0.0) for l in range(4)])
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+# --- positional fast paths (round-4: Poisson & Categorical, verdict #9) ------
+#
+# Contract (rng.py): element i of sample_positional(key, gids) is a pure
+# function of (key, gids[i]) — never of the batch layout — so sharded sweeps
+# and O(T) single-particle replay reproduce the same draws bit-exactly.
+
+
+def _layout_independent(dist):
+    gids = jnp.arange(64)
+    full = dist.sample_positional(KEY, gids)
+    lo = dist.sample_positional(KEY, gids[:32])
+    hi = dist.sample_positional(KEY, gids[32:])
+    np.testing.assert_array_equal(np.asarray(full[:32]), np.asarray(lo))
+    np.testing.assert_array_equal(np.asarray(full[32:]), np.asarray(hi))
+    shuffled = jnp.asarray([5, 63, 17, 0])
+    sub = dist.sample_positional(KEY, shuffled)
+    np.testing.assert_array_equal(
+        np.asarray(sub), np.asarray(full)[np.asarray(shuffled)]
+    )
+
+
+def test_poisson_positional_layout_independent():
+    _layout_independent(Poisson(3.5))
+
+
+def test_categorical_positional_layout_independent():
+    _layout_independent(Categorical(jnp.asarray([0.2, 0.5, 0.1, 0.2])))
+
+
+@pytest.mark.parametrize("rate", [0.3, 2.5, 30.0])
+def test_poisson_positional_frequencies(rate):
+    n = 200_000
+    s = np.asarray(Poisson(rate).sample_positional(KEY, jnp.arange(n)))
+    assert s.min() >= 0 and (s == np.round(s)).all()
+    # mean/variance within MC error
+    np.testing.assert_allclose(s.mean(), rate, rtol=0.02)
+    np.testing.assert_allclose(s.var(), rate, rtol=0.05)
+    # exact pmf check on the head of the support
+    ref = st.poisson(rate)
+    for k in range(int(rate + 3)):
+        np.testing.assert_allclose(
+            (s == k).mean(), ref.pmf(k), atol=4.0 / np.sqrt(n)
+        )
+
+
+def test_poisson_positional_large_rate_fallback():
+    # λ > 87 underflows the f32 exp(−λ) seed; the traced gate must route to
+    # the per-gid fallback and still return a valid positional draw.
+    n = 50_000
+    rate = 120.0
+    s = np.asarray(Poisson(rate).sample_positional(KEY, jnp.arange(n)))
+    np.testing.assert_allclose(s.mean(), rate, rtol=0.02)
+    np.testing.assert_allclose(s.var(), rate, rtol=0.08)
+    _layout_independent(Poisson(rate))
+
+
+def test_poisson_positional_batched_rates():
+    # Batched (per-particle) rates: the caller slices parameters along with
+    # gids (as sharded sweeps slice state), and draws stay positional.
+    rates = jnp.asarray([0.5, 4.0, 9.0, 1.0] * 16)  # batch (64,)
+    gids = jnp.arange(64)
+    full = Poisson(rates).sample_positional(KEY, gids)
+    assert full.shape == (64,)
+    lo = Poisson(rates[:32]).sample_positional(KEY, gids[:32])
+    hi = Poisson(rates[32:]).sample_positional(KEY, gids[32:])
+    np.testing.assert_array_equal(np.asarray(full[:32]), np.asarray(lo))
+    np.testing.assert_array_equal(np.asarray(full[32:]), np.asarray(hi))
+
+
+def test_categorical_positional_frequencies():
+    n = 300_000
+    p = np.asarray([0.3, 0.4, 0.3], np.float32)
+    s = np.asarray(
+        Categorical(jnp.asarray(p)).sample_positional(KEY, jnp.arange(n))
+    )
+    assert s.dtype == np.int32 and s.min() >= 0 and s.max() <= 2
+    for k in range(3):
+        np.testing.assert_allclose((s == k).mean(), p[k], atol=3e-3)
+
+
+def test_categorical_positional_batched_probs():
+    # per-particle probabilities: particle i draws from its own row
+    n = 100_000
+    probs = jnp.stack(
+        [jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 0.2, 0.8])]
+    )
+    probs = jnp.tile(probs, (n // 2, 1))
+    s = np.asarray(Categorical(probs).sample_positional(KEY, jnp.arange(n)))
+    assert (s[0::2] == 0).all()
+    assert set(np.unique(s[1::2])) <= {1, 2}
+    np.testing.assert_allclose((s[1::2] == 2).mean(), 0.8, atol=5e-3)

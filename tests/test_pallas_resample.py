@@ -76,14 +76,14 @@ def test_long_flat_run_spanning_blocks():
 
 # --- fused resample+move kernel ----------------------------------------------
 #
-# Both kernel generations are pinned against the same searchsorted oracle:
-# v1 (cumulative-count staircase) and v3 (sublane-windowed owner-index
-# staircase, the production default) must produce IDENTICAL ancestors and
-# bitwise-identical moved values for identical inputs.
+# All kernel generations are pinned against the same searchsorted oracle:
+# v1 (cumulative-count staircase), v3 (sublane-windowed owner-index
+# staircase) and v4 (per-tile merge + MXU move) must produce IDENTICAL
+# ancestors and bitwise-identical moved values for identical inputs.
 
 from advancedps_tpu.ops.pallas_resample import resample_move
 
-VERSIONS = [1, 3]
+VERSIONS = [1, 3, 4]
 
 
 def _move_ref(u, w, n, m):
@@ -177,10 +177,11 @@ def test_resample_move_window_past_population_end(version):
     assert int(anc_w[-1]) == m - 1 and float(moved_w[-1]) == 0.0
 
 
+@pytest.mark.parametrize("version", [v for v in VERSIONS if v != 1])
 @pytest.mark.parametrize("m,n", [(4096, 4096), (3000, 2999), (8192, 8192)])
-def test_v3_matches_v1_exactly(m, n):
-    # Direct v1-vs-v3 agreement on skewed weights (long runs spanning blocks),
-    # multi-column state, bitwise equality of moved values.
+def test_versions_match_v1_exactly(m, n, version):
+    # Direct cross-version agreement on skewed weights (long runs spanning
+    # blocks), multi-column state, bitwise equality of moved values.
     rng = np.random.default_rng(m * 13 + n)
     w = rng.gamma(0.05, size=m).astype(np.float32)  # heavy skew: long runs
     w = jnp.asarray(w / w.sum())
@@ -190,7 +191,7 @@ def test_v3_matches_v1_exactly(m, n):
     }
     u = float(rng.random())
     anc1, mv1 = resample_move(u, w, state, n, interpret=True, version=1)
-    anc2, mv2 = resample_move(u, w, state, n, interpret=True, version=3)
+    anc2, mv2 = resample_move(u, w, state, n, interpret=True, version=version)
     np.testing.assert_array_equal(np.asarray(anc1), np.asarray(anc2))
     np.testing.assert_array_equal(np.asarray(mv1["a"]), np.asarray(mv2["a"]))
     np.testing.assert_array_equal(np.asarray(mv1["b"]), np.asarray(mv2["b"]))
