@@ -681,30 +681,55 @@ _V4_BLK = 1024  # slots per grid step (8 tiles)
 _V4_CHUNK = 1024  # load granularity (1-D VMEM alignment requirement)
 
 
-def _make_move_kernel_v4(n_cols: int):
-    """Kernel over ``win, f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
+def _make_move_kernel_v4(n_cols: int, windowed: bool):
+    """Kernel over ``[win,] f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
 
-    1-D layouts as v1/v3; ``win`` (SMEM int32[3]) = (output-window start,
-    initial window pointer in 128-row units, extent of the last row before
-    that window).  SMEM carry: (window pointer, previous extent).
+    1-D layouts as v1/v3; ``win`` (SMEM int32[3], windowed calls only) =
+    (output-window start, initial window pointer in 128-row units, extent of
+    the last row before that window).  SMEM carry: (window pointer, previous
+    extent).
+
+    CRITICAL (measured on v5e): the extents/value arrays are taken as
+    ``pltpu.ANY`` (HBM) operands and DMA'd to VMEM scratch ONCE at grid step
+    0.  With plain whole-array VMEM in_specs the pipeline re-copied both
+    full arrays on EVERY grid step whenever the operands were produced by
+    upstream XLA ops (the pad/concat prologue) or accompanied by an SMEM
+    operand — 977 steps × 8 MB ≈ 10 ms of pure HBM traffic, 25× the
+    kernel's real cost; bisected on hardware, mechanism in Mosaic's
+    pipelining of grid-invariant operands.  Manual staging makes the
+    once-only copy explicit and provenance-independent.
     """
 
     def kernel(*refs):
-        win_ref = refs[0]
-        f_ref = refs[1]
-        v_refs = refs[2 : 2 + n_cols]
-        anc_ref = refs[2 + n_cols]
-        out_refs = refs[3 + n_cols : 3 + 2 * n_cols]
+        off0 = 1 if windowed else 0
+        win_ref = refs[0] if windowed else None
+        f_hbm = refs[off0]
+        v_hbms = refs[off0 + 1 : off0 + 1 + n_cols]
+        anc_ref = refs[off0 + 1 + n_cols]
+        out_refs = refs[off0 + 2 + n_cols : off0 + 2 + 2 * n_cols]
+        f_ref = refs[off0 + 2 + 2 * n_cols]
+        v_refs = refs[off0 + 3 + 2 * n_cols : off0 + 3 + 3 * n_cols]
+        sem = refs[-2]
         carry_ref = refs[-1]
 
         b = pl.program_id(0)
 
         @pl.when(b == 0)
         def _():
-            carry_ref[0] = win_ref[1]  # window pointer (units of _V4_SUB rows)
-            carry_ref[1] = win_ref[2]  # extent of the last row before it
+            cps = [pltpu.make_async_copy(f_hbm, f_ref, sem.at[0])]
+            cps += [
+                pltpu.make_async_copy(vh, vr, sem.at[1 + c])
+                for c, (vh, vr) in enumerate(zip(v_hbms, v_refs))
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            # window pointer (units of _V4_SUB rows); extent of last row before
+            carry_ref[0] = win_ref[1] if windowed else 0
+            carry_ref[1] = win_ref[2] if windowed else 0
 
-        base = win_ref[0] + b * _V4_BLK
+        base = (win_ref[0] if windowed else 0) + b * _V4_BLK
         nwin = f_ref.shape[0] // _V4_SUB
         nsub = _V4_CHUNK // _V4_SUB  # 128-row windows per 1024-row chunk
 
@@ -807,6 +832,7 @@ def _resample_move_cols_v4(f, cols, n, start=None, n_out=None, interpret=False):
     zpad = jnp.zeros((pad_in,), jnp.float32)
     vs = [jnp.concatenate([c.astype(jnp.float32), zpad]) for c in cols]
 
+    args = []
     if windowed:
         start = jnp.asarray(start, jnp.int32)
         # First 128-row window holding a row with f > start; its merge seed is
@@ -816,38 +842,270 @@ def _resample_move_cols_v4(f, cols, n, start=None, n_out=None, interpret=False):
         prev0 = jnp.where(
             ptr0 > 0, f_p[jnp.maximum(ptr0 * _V4_SUB - 1, 0)], jnp.int32(0)
         )
-        win = jnp.stack([start, ptr0, prev0])
-    else:
-        win = jnp.zeros((3,), jnp.int32)
+        args.append(jnp.stack([start, ptr0, prev0]))
 
     n_cols = len(vs)
+    m_pad = f_p.shape[0]
     outs = pl.pallas_call(
-        _make_move_kernel_v4(n_cols),
+        _make_move_kernel_v4(n_cols, windowed),
         grid=(n_pad // _V4_BLK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] if windowed else [])
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + n_cols),
         out_specs=[
             pl.BlockSpec((_V4_BLK,), lambda b: (b,), memory_space=pltpu.VMEM)
         ]
         * (1 + n_cols),
         out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
         + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((m_pad,), jnp.int32),
+        ]
+        + [pltpu.VMEM((m_pad,), jnp.float32)] * n_cols
+        + [
+            pltpu.SemaphoreType.DMA((1 + n_cols,)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
         interpret=interpret,
-    )(win, f_p, *vs)
+    )(*args, f_p, *vs)
     anc = outs[0][:n_out]
     return anc, tuple(o[:n_out] for o in outs[1:])
 
 
-# VMEM budget: f and the D state columns (plus the [_MS, _MW] mask temporaries)
-# must fit on-chip; cap total input elements under the ~16 MB VMEM of a v5e core.
-_MOVE_MAX_ELEMS = 3_000_000  # f32 elements across f + state columns
-_MOVE_MAX_COLS = 8
+# ---------------------------------------------------------------------------
+# v5: v1's dense staircase with MXU accumulation (exact bf16 splits)
+# ---------------------------------------------------------------------------
+#
+# Round-4 finding: the per-tile merge (v4) loses to its own scalar control —
+# ~140 cycles of window-extract/branch bookkeeping per 128-row fire x ~16k
+# fires ~ 2.4 ms before any compute (measured via an empty-fire ablation);
+# total 10.1 ms vs v1's 3.4 (all varied-input timings — loop-invariant
+# harnesses get hoisted by XLA and read ~25x too fast; see git history).
+# The dense-block structure (v1) amortises scalar work over fat
+# [512 x 1024] mask tiles and is compare-bound; v5 keeps that structure and
+# attacks the per-element constant:
+#
+# * masks in bfloat16 (cle/own hold exactly 0.0/1.0 — exact in bf16, half
+#   the vector registers of v1's f32 masks);
+# * the anc/value accumulation moves from VPU multiply-adds to ONE bf16 MXU
+#   matmul per sub-slice: ``lhs (3+3C, 512) @ own (512, 1024) -> f32``, with
+#   lhs rows [ones; (loc>>7)<<7; loc&127; v_hi; v_mid; v_lo ...]:
+#   - the local row id splits as loc = a' + b with a' in {0,128,256,384} and
+#     b in [0,127], both exactly representable in bf16; the global ancestor
+#     index assembles as jbase*r_ones + r_a + r_b in f32 (ints < 2^24, exact);
+#   - each f32 value column splits exactly into three bf16 terms
+#     (v == hi + mid + lo, Dekker-style); every matmul output sums at most
+#     one nonzero product, so moved values are exact f32 copies of normal
+#     inputs (TPU flushes denormals — same caveat as v1's VPU path).
+# * the "consumed" sub-slice branch becomes a pure skip (owner-id semantics
+#   need no cumulative count, unlike v1's).
+
+_V5_MC = 1024  # input extents per chunk (1-D i32 VMEM alignment)
+_V5_MS = 512  # rows per mask sub-slice
+_V5_MW = 1024  # output slots per grid step
+
+
+def _split3(v):
+    """Exact 3-way bf16 split: ``v == hi + mid + lo`` as f32 sums (normal f32
+    inputs; each residual holds <= 8 further mantissa bits)."""
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _make_move_kernel_v5(n_cols: int, windowed: bool):
+    """Kernel over ``[win,] f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
+
+    ``win`` (SMEM int32[2], windowed calls only) = (output-window start,
+    initial chunk pointer).  SMEM carry: the chunk pointer.
+    """
+
+    def kernel(*refs):
+        off0 = 1 if windowed else 0
+        win_ref = refs[0] if windowed else None
+        f_ref = refs[off0]
+        v_refs = refs[off0 + 1 : off0 + 1 + n_cols]
+        anc_ref = refs[off0 + 1 + n_cols]
+        out_refs = refs[off0 + 2 + n_cols : off0 + 2 + 2 * n_cols]
+        carry_ref = refs[-1]
+
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[0] = win_ref[1] if windowed else 0  # chunk pointer
+
+        base = (win_ref[0] if windowed else 0) + b * _V5_MW
+        ptr0 = carry_ref[0]
+        num_chunks = f_ref.shape[0] // _V5_MC
+        block_end = base + _V5_MW - 1
+
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, (_V5_MS, _V5_MW), 1)
+        pos_row = base + jax.lax.broadcasted_iota(jnp.int32, (_V5_MW,), 0)
+        loc = jax.lax.broadcasted_iota(jnp.int32, (1, _V5_MS), 1)
+        ones_row = jnp.ones((1, _V5_MS), jnp.bfloat16)
+        a_row = ((loc >> 7) << 7).astype(jnp.bfloat16)
+        b_row = (loc & 127).astype(jnp.bfloat16)
+
+        def cond(c):
+            return jnp.logical_not(c[-1])
+
+        def body(c):
+            ptr, prev_f, accs, _ = c
+            off = pl.multiple_of(ptr * _V5_MC, _V5_MC)
+            chunk = f_ref[pl.ds(off, _V5_MC)]
+            vals = [v_ref[pl.ds(off, _V5_MC)] for v_ref in v_refs]
+
+            def sub_update(s, carry):
+                prev_f, accs = carry
+                sub = jax.lax.slice(chunk, (s * _V5_MS,), ((s + 1) * _V5_MS,))
+                sub_last = sub[_V5_MS - 1]
+
+                def live(accs):
+                    subb = sub[:, None] + jnp.zeros((_V5_MS, _V5_MW), jnp.int32)
+                    cle = (subb <= pos).astype(jnp.bfloat16)
+                    prev_row = (prev_f <= pos_row).astype(jnp.bfloat16)
+                    prev_rows = jnp.concatenate(
+                        [
+                            prev_row[None],
+                            jax.lax.slice(cle, (0, 0), (_V5_MS - 1, _V5_MW)),
+                        ],
+                        axis=0,
+                    )
+                    own = prev_rows - cle  # bf16, exactly {0,1}
+                    rows = [ones_row, a_row, b_row]
+                    for v in vals:
+                        vs_ = jax.lax.slice(
+                            v, (s * _V5_MS,), ((s + 1) * _V5_MS,)
+                        )
+                        hi, mid, lo = _split3(vs_)
+                        rows += [hi[None], mid[None], lo[None]]
+                    lhs = jnp.concatenate(rows, axis=0)  # (3+3C, 512) bf16
+                    out = jax.lax.dot_general(
+                        lhs,
+                        own,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    jbase = (off + s * _V5_MS).astype(jnp.float32)
+                    new = [accs[0] + jbase * out[0] + out[1] + out[2]]
+                    for ci in range(n_cols):
+                        new.append(accs[1 + ci] + out[3 + 3 * ci]
+                                   + out[4 + 3 * ci] + out[5 + 3 * ci])
+                    return tuple(new)
+
+                def not_consumed(accs):
+                    return jax.lax.cond(
+                        prev_f <= block_end, live, lambda a: a, accs
+                    )
+
+                # Fully-consumed sub-slices (sub_last <= base) are pure skips:
+                # owner-id accumulation needs no count bookkeeping.
+                accs = jax.lax.cond(
+                    sub_last <= base, lambda a: a, not_consumed, accs
+                )
+                return sub_last, accs
+
+            for s in range(_V5_MC // _V5_MS):
+                prev_f, accs = sub_update(s, (prev_f, accs))
+
+            last = chunk[_V5_MC - 1]
+            stop = (last > block_end) | (ptr + 1 >= num_chunks)
+            ptr = jnp.where(stop, ptr, ptr + 1)
+            return ptr, prev_f, accs, stop
+
+        # prev_f seeds 0 per block: rows before the walk window were consumed
+        # by earlier blocks/windows, so ``prev_f <= k`` must hold — 0 gives it
+        # (same telescope argument as v1).
+        accs0 = tuple(
+            jnp.zeros((_V5_MW,), jnp.float32) for _ in range(1 + n_cols)
+        )
+        ptr, prev_f, accs, _ = jax.lax.while_loop(
+            cond, body, (ptr0, jnp.int32(0), accs0, jnp.asarray(False))
+        )
+
+        anc_ref[:] = accs[0].astype(jnp.int32)
+        for o, acc in zip(out_refs, accs[1:]):
+            o[:] = acc
+        carry_ref[0] = ptr
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
+def _resample_move_cols_v5(f, cols, n, start=None, n_out=None, interpret=False):
+    """v5 fused decode+move (see block comment above): same contract as
+    :func:`_resample_move_cols` — identical ancestors and bitwise-identical
+    moved values for identical (normal-f32) inputs."""
+    m = f.shape[0]
+    windowed = n_out is not None
+    if not windowed:
+        n_out = n
+    pad_in = (-m) % _V5_MC or _V5_MC
+    if m + pad_in >= (1 << 24):
+        raise ValueError("v5 kernel requires m + pad < 2^24 for exact f32 row ids")
+    n_pad = -(-n_out // _V5_MW) * _V5_MW
+    sentinel = jnp.int32(1 << 30)
+    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
+    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
+    zpad = jnp.zeros((pad_in,), jnp.float32)
+    vs = [jnp.concatenate([c.astype(jnp.float32), zpad]) for c in cols]
+
+    args = []
+    if windowed:
+        start = jnp.asarray(start, jnp.int32)
+        # First chunk holding a row with f > start (earlier rows own only
+        # slots < start, which this window never decodes).
+        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
+        args.append(jnp.stack([start, j0 // _V5_MC]))
+
+    n_cols = len(vs)
+    outs = pl.pallas_call(
+        _make_move_kernel_v5(n_cols, windowed),
+        grid=(n_pad // _V5_MW,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] if windowed else [])
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
+        out_specs=[
+            pl.BlockSpec((_V5_MW,), lambda b: (b,), memory_space=pltpu.VMEM)
+        ]
+        * (1 + n_cols),
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
+        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(*args, f_p, *vs)
+    anc = outs[0][:n_out]
+    return anc, tuple(o[:n_out] for o in outs[1:])
+
+
+# VMEM budget: one launch holds f plus a GROUP of state columns on-chip; cap
+# total per-launch input elements under the ~16 MB VMEM of a v5e core.  Wider
+# states (round-3 verdict #3: Lévy D=2 at 1M sat exactly at the old 3M cap;
+# 16-site generic programs fell off it) are moved by SPLITTING the columns
+# into groups and launching the kernel once per group against the same
+# extents — each launch re-walks f, so eligibility bounds the LAUNCH COUNT,
+# not the width: ceil(d / group) <= _MOVE_MAX_LAUNCHES keeps the fused path
+# ahead of the ~8 ms XLA dynamic gather it replaces.
+_MOVE_MAX_ELEMS = 3_000_000  # f32 elements per launch across f + column group
+_MOVE_MAX_LAUNCHES = 8
+_MOVE_MAX_COLS = 64
+
+
+def _move_group_size(m: int) -> int:
+    """Columns per kernel launch at population ``m`` (≥1 iff f alone fits)."""
+    return max(0, _MOVE_MAX_ELEMS // m - 1)
 
 
 def move_eligible(state, m: int) -> bool:
-    """True if the fused Pallas resample+move kernel can handle this state
-    (all-f32 leaves with leading axis ``m``, small total width, VMEM-resident)."""
+    """True if the fused Pallas resample+move kernel can handle this state.
+
+    Requirements: all leaves float32 with leading axis ``m`` (integer/f64
+    leaves are excluded — the kernel moves values through f32 arithmetic, and
+    bit-casting int payloads through multiplies is not exact on TPU, which
+    flushes denormals), total width ≤ 64 columns, and few enough per-launch
+    column groups that the fused path stays ahead of the XLA gather fallback.
+    """
     if jax.default_backend() != "tpu":
         return False
     leaves = jax.tree_util.tree_leaves(state)
@@ -858,7 +1116,10 @@ def move_eligible(state, m: int) -> bool:
         if leaf.dtype != jnp.float32 or leaf.ndim == 0 or leaf.shape[0] != m:
             return False
         d += int(leaf.size) // m
-    return d <= _MOVE_MAX_COLS and m * (1 + d) <= _MOVE_MAX_ELEMS
+    g = _move_group_size(m)
+    if g < 1 or d > _MOVE_MAX_COLS:
+        return False
+    return -(-d // g) <= _MOVE_MAX_LAUNCHES
 
 
 def _flatten_cols(state, m):
@@ -890,8 +1151,34 @@ _MOVE_IMPLS = {
     1: _resample_move_cols,
     3: _resample_move_cols_v3,
     4: _resample_move_cols_v4,
+    5: _resample_move_cols_v5,
 }
 DEFAULT_MOVE_VERSION = 1
+
+
+def _move_cols_grouped(impl, f, cols, n, start=None, n_out=None, interpret=False):
+    """Launch ``impl`` over VMEM-sized COLUMN GROUPS against the same extents.
+
+    Wide states (up to ``_MOVE_MAX_COLS`` columns) exceed the per-launch VMEM
+    budget; each group launch re-walks ``f`` (the walk dominates; extra value
+    columns ride the same matmul/accumulate nearly free), so total cost is
+    ``ceil(d/group) ×`` one decode — bounded by ``move_eligible`` to stay
+    ahead of the XLA gather fallback.  The decoded ancestors are identical
+    across launches (same ``f``); the first launch's are returned.
+    """
+    m = f.shape[0]
+    g = max(1, _move_group_size(m))
+    if len(cols) <= g:
+        return impl(f, cols, n, start=start, n_out=n_out, interpret=interpret)
+    anc = None
+    ys = []
+    for i in range(0, len(cols), g):
+        anc_i, ys_i = impl(
+            f, cols[i : i + g], n, start=start, n_out=n_out, interpret=interpret
+        )
+        anc = anc_i if anc is None else anc
+        ys.extend(ys_i)
+    return anc, tuple(ys)
 
 
 def resample_move_f(
@@ -903,7 +1190,9 @@ def resample_move_f(
     ver = version or DEFAULT_MOVE_VERSION
     m = f.shape[0]
     leaves, treedef, cols = _flatten_cols(state, m)
-    anc, ys = _MOVE_IMPLS[ver](f, cols, n, interpret=interpret)
+    anc, ys = _move_cols_grouped(
+        _MOVE_IMPLS[ver], f, cols, n, interpret=interpret
+    )
     anc = jnp.clip(anc, 0, m - 1)
     return anc, _unflatten_cols(leaves, treedef, ys, m, n)
 
@@ -944,7 +1233,9 @@ def resample_move_window_fext(
     impl = _MOVE_IMPLS[version or DEFAULT_MOVE_VERSION]
     m = f_ext.shape[0]
     leaves, treedef, cols = _flatten_cols(state, m)
-    anc, ys = impl(f_ext, cols, n, start=start, n_out=n_out, interpret=interpret)
+    anc, ys = _move_cols_grouped(
+        impl, f_ext, cols, n, start=start, n_out=n_out, interpret=interpret
+    )
     anc = jnp.clip(anc, 0, m - 1)
     return anc, _unflatten_cols(leaves, treedef, ys, m, n_out)
 
@@ -969,6 +1260,8 @@ def resample_move_window(
     cdf = jnp.cumsum(weights)
     f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
     leaves, treedef, cols = _flatten_cols(state, m)
-    anc, ys = impl(f, cols, n, start=start, n_out=n_out, interpret=interpret)
+    anc, ys = _move_cols_grouped(
+        impl, f, cols, n, start=start, n_out=n_out, interpret=interpret
+    )
     anc = jnp.clip(anc, 0, m - 1)
     return anc, _unflatten_cols(leaves, treedef, ys, m, n_out)

@@ -74,8 +74,11 @@ def main():
         @jax.jit
         def run(f, cols):
             def body(c, i):
-                anc, ys = pr._MOVE_IMPLS[ver](f, cols, N)
-                # fold outputs back so nothing is DCE'd; keep f constant
+                # VARY the extents per iteration: with loop-invariant operands
+                # XLA hoists the (pure) kernel out of the scan and the reading
+                # is ~inner-count× too fast (round-4 lesson, git history).
+                f_i = jnp.clip(f + (i % 2), 0, N)
+                anc, ys = pr._MOVE_IMPLS[ver](f_i, cols, N)
                 s = anc[0] + anc[N - 1]
                 return c + s * 1e-9 + ys[0][0] * 1e-9, ()
 

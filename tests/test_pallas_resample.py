@@ -83,7 +83,7 @@ def test_long_flat_run_spanning_blocks():
 
 from advancedps_tpu.ops.pallas_resample import resample_move
 
-VERSIONS = [1, 3, 4]
+VERSIONS = [1, 3, 4, 5]
 
 
 def _move_ref(u, w, n, m):
@@ -275,3 +275,67 @@ def test_move_weight_profiles(weights):
     )
     np.testing.assert_array_equal(np.clip(np.asarray(anc_c), 0, m - 1), anc_ref)
     np.testing.assert_array_equal(np.asarray(ys_c[0]), np.asarray(x)[anc_ref])
+
+
+# --- wide-state column grouping + eligibility boundary (round-4, verdict #3) --
+
+from advancedps_tpu.ops import pallas_resample as prmod
+
+
+def test_grouped_move_matches_ungrouped_exactly(monkeypatch):
+    # Force tiny per-launch budget so a 5-column state needs 3 launches; the
+    # grouped result must equal the single-launch result bitwise.
+    m = n = 2048
+    rng = np.random.default_rng(21)
+    w = rng.gamma(0.5, size=m).astype(np.float32)
+    w = jnp.asarray(w / w.sum())
+    state = jnp.asarray(rng.standard_normal((m, 5)).astype(np.float32))
+    anc_ref, mv_ref = resample_move(0.3, w, state, n, interpret=True)
+    monkeypatch.setattr(prmod, "_MOVE_MAX_ELEMS", m * 3)  # group size 2
+    assert prmod._move_group_size(m) == 2
+    anc_g, mv_g = resample_move(0.3, w, state, n, interpret=True)
+    np.testing.assert_array_equal(np.asarray(anc_g), np.asarray(anc_ref))
+    np.testing.assert_array_equal(np.asarray(mv_g), np.asarray(mv_ref))
+
+
+def test_grouped_window_matches_full_slices(monkeypatch):
+    m, n = 4096, 4096
+    rng = np.random.default_rng(3)
+    w = rng.gamma(0.5, size=m).astype(np.float32)
+    w = jnp.asarray(w / w.sum())
+    state = jnp.asarray(rng.standard_normal((m, 4)).astype(np.float32))
+    anc_f, mv_f = resample_move(0.7, w, state, n, interpret=True)
+    monkeypatch.setattr(prmod, "_MOVE_MAX_ELEMS", m * 3)
+    anc_w, mv_w = resample_move_window(
+        0.7, w, state, n, jnp.int32(1024), 1024, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(anc_w), np.asarray(anc_f)[1024:2048]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mv_w), np.asarray(mv_f)[1024:2048]
+    )
+
+
+def test_move_eligible_boundary(monkeypatch):
+    # Pin the fallback cliff (previously silent): f32/width/launch-count rules.
+    monkeypatch.setattr(prmod.jax, "default_backend", lambda: "tpu")
+    m = 1_000_000
+    g = prmod._move_group_size(m)  # = 2 at 1M with the 3M budget
+    assert g == 2
+
+    def st(d, dtype=jnp.float32, m_=m):
+        return jax.ShapeDtypeStruct((m_, d), dtype)
+
+    # jax.ShapeDtypeStruct has .dtype/.ndim/.shape/.size — enough for the check
+    assert prmod.move_eligible(st(1), m)
+    assert prmod.move_eligible(st(2), m)      # Lévy at 1M: in (was AT the cap)
+    assert prmod.move_eligible(st(16), m)     # 16-site generic at 1M: now in
+    assert not prmod.move_eligible(st(17), m)  # 9 launches: out
+    assert not prmod.move_eligible(st(2, jnp.int32), m)    # non-f32: out
+    assert not prmod.move_eligible(st(2, jnp.float64), m)  # f64: out
+    small = 100_000
+    assert prmod.move_eligible(st(29, m_=small), small)
+    assert not prmod.move_eligible(st(65, m_=small), small)  # width cap
+    # f alone must fit: enormous m is out even at D=1
+    assert not prmod.move_eligible(st(1, m_=4_000_000), 4_000_000)
