@@ -26,6 +26,7 @@ that.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1141,19 +1142,33 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-#: Which fused decode+move implementation the engine uses.  Both are exact and
-#: pinned against each other (tests/test_pallas_resample.py).  Measured on v5e
-#: (1M particles, D=1): v1 3.64 ms/firing, v3 4.95 ms — the windowing's 8×
-#: compare-volume reduction is eaten by its per-chunk transposes, 64 scalar
-#: ``pl.when`` gates and VMEM read-modify-write accumulation, so the dense
-#: staircase remains the default.  v3 is kept as the windowing testbed.
+#: Which fused decode+move implementation the engine uses.  All are exact and
+#: pinned against each other (tests/test_pallas_resample.py).  The ONLY
+#: trustworthy comparison is an in-engine same-session A/B of the full sweep
+#: (bench.py under APS_MOVE_VERSION): micro-harnesses mislead in BOTH
+#: directions on this machine — loop-invariant operands get the kernel
+#: hoisted out of timing scans (reads ~25x fast), while varied operands can
+#: trigger per-grid-step operand re-copies for SOME kernels (reads ~1.5x
+#: slow, and differently per version).  Round-4 in-engine A/B at 1M (17
+#: firings per sweep, same hour, v1 ratchet-identical to round 3):
+#:   v1 dense staircase (VPU f32)    76.1 ms sweep  ← production default
+#:   v5 dense staircase + bf16 MXU   79.6 ms sweep (micro said 1.5x FASTER)
+#:   v4 per-tile merge + MXU         ~10 ms/firing — scalar walk overhead
+#:   v3 sublane-windowed             4.95 ms/firing (round 3)
+#: v3/v4/v5 are kept as measured testbeds documenting the design space: fine
+#: granularity loses to Mosaic's scalar control; the MXU rewrite saves no
+#: wall time because the i32 mask compare — common to all variants — is the
+#: true bottleneck, not the accumulation it feeds.
 _MOVE_IMPLS = {
     1: _resample_move_cols,
     3: _resample_move_cols_v3,
     4: _resample_move_cols_v4,
     5: _resample_move_cols_v5,
 }
-DEFAULT_MOVE_VERSION = 1
+# APS_MOVE_VERSION: measurement override for same-session A/B on shared
+# hardware (the chip+host show a few percent of hour-scale drift, so absolute
+# numbers across sessions don't settle 10%-class kernel questions).
+DEFAULT_MOVE_VERSION = int(os.environ.get("APS_MOVE_VERSION", "1"))
 
 
 def _move_cols_grouped(impl, f, cols, n, start=None, n_out=None, interpret=False):
