@@ -316,6 +316,9 @@ def _make_move_kernel(
 
                 def live(accs):
                     # c_{j,k} = (f_j ≤ k): ONE compare family per element.
+                    # (A direct (512,1)-vs-(512,1024) broadcast compare without
+                    # the materialising add measured identical in-engine —
+                    # Mosaic already folds the broadcast; round-4 A/B.)
                     subb = sub[:, None] + jnp.zeros((_MS, _MW), jnp.int32)
                     cle = (subb <= pos).astype(jnp.float32)
                     # Row −1 of the telescope: the carried previous extent.

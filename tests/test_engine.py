@@ -144,3 +144,31 @@ def test_smc_log_evidence_matches_kalman_closely():
         ys, a, 0.0, q, 1.0, r, 0.0, math.sqrt(q * q / (1 - a * a))
     )
     assert abs(float(out.log_evidence) - float(kf.log_likelihood)) < 0.25
+
+
+def test_always_resample_specialization_matches_gated_path():
+    # threshold >= 1.0 statically elides the lax.cond and pending bookkeeping
+    # (engine.py round-4 specialization); threshold just below 1.0 keeps the
+    # gated program but fires on every step (ESS < N strictly, a.s.).  The
+    # two differently-compiled programs must agree exactly.
+    model = aps.models.stationary_lgssm(a=0.8, q=0.5, r=0.7)
+    _, ys = aps.simulate(jax.random.key(3), model, 12)
+    kernel = SSMKernel(ssm=aps.TracedSSM(model, ys))
+    key = jax.random.key(7)
+    spec = sweep(key, kernel, 64, ResampleWithESSThreshold(threshold=1.0))
+    gated = sweep(
+        key, kernel, 64, ResampleWithESSThreshold(threshold=1.0 - 1e-9)
+    )
+    assert bool(gated.resampled[1:].all()), "premise: gate fires every step"
+    np.testing.assert_array_equal(
+        np.asarray(spec.ancestors), np.asarray(gated.ancestors)
+    )
+    np.testing.assert_allclose(
+        float(spec.log_evidence), float(gated.log_evidence), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(spec.states), np.asarray(gated.states)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(spec.resampled), np.asarray(gated.resampled)
+    )
