@@ -318,7 +318,7 @@ def test_grouped_window_matches_full_slices(monkeypatch):
 
 
 def test_move_eligible_boundary(monkeypatch):
-    # Pin the fallback cliff (previously silent): f32/width/launch-count rules.
+    # Pin the fallback cliff (previously silent): f32/width/VMEM rules.
     monkeypatch.setattr(prmod.jax, "default_backend", lambda: "tpu")
     m = 1_000_000
     g = prmod._move_group_size(m)  # = 2 at 1M with the 3M budget
@@ -330,12 +330,32 @@ def test_move_eligible_boundary(monkeypatch):
     # jax.ShapeDtypeStruct has .dtype/.ndim/.shape/.size — enough for the check
     assert prmod.move_eligible(st(1), m)
     assert prmod.move_eligible(st(2), m)      # Lévy at 1M: in (was AT the cap)
-    assert prmod.move_eligible(st(16), m)     # 16-site generic at 1M: now in
-    assert not prmod.move_eligible(st(17), m)  # 9 launches: out
+    assert prmod.move_eligible(st(16), m)     # 16-site generic at 1M: hybrid
+    assert prmod.move_eligible(st(64), m)     # width cap is the only d bound
+    assert not prmod.move_eligible(st(65), m)
     assert not prmod.move_eligible(st(2, jnp.int32), m)    # non-f32: out
     assert not prmod.move_eligible(st(2, jnp.float64), m)  # f64: out
-    small = 100_000
-    assert prmod.move_eligible(st(29, m_=small), small)
-    assert not prmod.move_eligible(st(65, m_=small), small)  # width cap
     # f alone must fit: enormous m is out even at D=1
     assert not prmod.move_eligible(st(1, m_=4_000_000), 4_000_000)
+
+
+def test_hybrid_wide_move_matches_plain(monkeypatch):
+    # d > 2*group: fused decode + batched gather for the overflow columns
+    # must equal the single-launch result bitwise, including zeroed values at
+    # sentinel-owned (past-population) slots in the windowed form.
+    m = n = 2048
+    rng = np.random.default_rng(31)
+    w = rng.gamma(0.5, size=m).astype(np.float32)
+    w = jnp.asarray(w / w.sum())
+    state = jnp.asarray(rng.standard_normal((m, 7)).astype(np.float32))
+    anc_ref, mv_ref = resample_move(0.4, w, state, n, interpret=True)
+    monkeypatch.setattr(prmod, "_MOVE_MAX_ELEMS", m * 3)  # group size 2 -> hybrid
+    anc_h, mv_h = resample_move(0.4, w, state, n, interpret=True)
+    np.testing.assert_array_equal(np.asarray(anc_h), np.asarray(anc_ref))
+    np.testing.assert_array_equal(np.asarray(mv_h), np.asarray(mv_ref))
+    # windowed form past the population end: moved values 0 in every column
+    anc_w, mv_w = resample_move_window(
+        0.4, w, state, n - 1, jnp.int32(n - 512), 512, interpret=True
+    )
+    assert int(anc_w[-1]) == m - 1
+    np.testing.assert_array_equal(np.asarray(mv_w[-1]), np.zeros(7))
