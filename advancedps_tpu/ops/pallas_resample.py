@@ -1083,6 +1083,146 @@ def _resample_move_cols_v5(f, cols, n, start=None, n_out=None, interpret=False):
     return anc, tuple(o[:n_out] for o in outs[1:])
 
 
+# ---------------------------------------------------------------------------
+# v7: full-chunk dense fused decode+move (decode_ancestors' lean style)
+# ---------------------------------------------------------------------------
+#
+# Round-4 measurement: the count-only ``decode_ancestors`` kernel runs the
+# SAME staircase walk at 1.37 ms per 1M firing vs fused v1's 3.30 — v1's
+# extra cost is its per-sub-slice ``lax.cond`` gating and bookkeeping, not
+# the value math.  v7 fuses the move into the decode kernel's structure:
+# whole 1024-row chunks, no sub-slices, no conditional gating, one f32
+# own-mask built from the compare + a one-row shift, and own-rowid
+# accumulation (like v4/v5) so no count/valid bookkeeping is needed either:
+#
+#   own[j,k] = cle[j-1,k] − cle[j,k] ∈ {0,1}   (cle = (f_j ≤ k))
+#   anc[k]   = Σ own·(rowbase + j)    — exact int sums in f32 (< 2^24)
+#   out_c[k] = Σ own·v_j              — exactly one nonzero ⇒ exact copy
+
+_V7_C = 1024  # rows per chunk
+_V7_W = 1024  # output slots per grid step
+
+
+def _make_move_kernel_v7(n_cols: int, windowed: bool):
+    """Kernel over ``[win,] f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
+
+    ``win`` (SMEM int32[2], windowed calls only) = (output-window start,
+    initial chunk pointer).  SMEM carry: the chunk pointer.
+    """
+
+    def kernel(*refs):
+        off0 = 1 if windowed else 0
+        win_ref = refs[0] if windowed else None
+        f_ref = refs[off0]
+        v_refs = refs[off0 + 1 : off0 + 1 + n_cols]
+        anc_ref = refs[off0 + 1 + n_cols]
+        out_refs = refs[off0 + 2 + n_cols : off0 + 2 + 2 * n_cols]
+        carry_ref = refs[-1]
+
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[0] = win_ref[1] if windowed else 0  # chunk pointer
+
+        base = (win_ref[0] if windowed else 0) + b * _V7_W
+        ptr0 = carry_ref[0]
+        num_chunks = f_ref.shape[0] // _V7_C
+        block_end = base + _V7_W - 1
+
+        pos = base + jax.lax.broadcasted_iota(jnp.int32, (_V7_C, _V7_W), 1)
+        pos_row = base + jax.lax.broadcasted_iota(jnp.int32, (_V7_W,), 0)
+
+        def cond(c):
+            return jnp.logical_not(c[-1])
+
+        def body(c):
+            ptr, prev_f, accs, _ = c
+            off = pl.multiple_of(ptr * _V7_C, _V7_C)
+            chunk = f_ref[pl.ds(off, _V7_C)]
+            chunk2 = chunk[:, None] + jnp.zeros((_V7_C, _V7_W), jnp.int32)
+            cle = (chunk2 <= pos).astype(jnp.float32)
+            prev_row = (prev_f <= pos_row).astype(jnp.float32)
+            prev_rows = jnp.concatenate(
+                [prev_row[None], jax.lax.slice(cle, (0, 0), (_V7_C - 1, _V7_W))],
+                axis=0,
+            )
+            own = prev_rows - cle  # {0,1}, exactly one 1 per owned column
+            rowid = (
+                off + jax.lax.broadcasted_iota(jnp.int32, (_V7_C, 1), 0)
+            ).astype(jnp.float32)
+            new = [accs[0] + jnp.sum(own * rowid, axis=0)]
+            for ci, v_ref in enumerate(v_refs):
+                v = v_ref[pl.ds(off, _V7_C)]
+                new.append(accs[1 + ci] + jnp.sum(own * v[:, None], axis=0))
+
+            last = chunk[_V7_C - 1]
+            stop = (last > block_end) | (ptr + 1 >= num_chunks)
+            ptr_n = jnp.where(stop, ptr, ptr + 1)
+            prev_n = jnp.where(stop, prev_f, last)
+            return ptr_n, prev_n, tuple(new), stop
+
+        accs0 = tuple(
+            jnp.zeros((_V7_W,), jnp.float32) for _ in range(1 + n_cols)
+        )
+        # prev_f seeds 0 per block: rows before the walk were consumed by
+        # earlier blocks/windows (same telescope argument as v1/v5).
+        ptr, prev_f, accs, _ = jax.lax.while_loop(
+            cond, body, (ptr0, jnp.int32(0), accs0, jnp.asarray(False))
+        )
+
+        anc_ref[:] = accs[0].astype(jnp.int32)
+        for o, acc in zip(out_refs, accs[1:]):
+            o[:] = acc
+        carry_ref[0] = ptr
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
+def _resample_move_cols_v7(f, cols, n, start=None, n_out=None, interpret=False):
+    """v7 fused decode+move (see block comment above): same contract as
+    :func:`_resample_move_cols` — identical ancestors and bitwise-identical
+    moved values for identical inputs."""
+    m = f.shape[0]
+    windowed = n_out is not None
+    if not windowed:
+        n_out = n
+    pad_in = (-m) % _V7_C or _V7_C
+    if m + pad_in >= (1 << 24):
+        raise ValueError("v7 kernel requires m + pad < 2^24 for exact f32 row ids")
+    n_pad = -(-n_out // _V7_W) * _V7_W
+    sentinel = jnp.int32(1 << 30)
+    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
+    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
+    zpad = jnp.zeros((pad_in,), jnp.float32)
+    vs = [jnp.concatenate([c.astype(jnp.float32), zpad]) for c in cols]
+
+    args = []
+    if windowed:
+        start = jnp.asarray(start, jnp.int32)
+        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
+        args.append(jnp.stack([start, j0 // _V7_C]))
+
+    n_cols = len(vs)
+    outs = pl.pallas_call(
+        _make_move_kernel_v7(n_cols, windowed),
+        grid=(n_pad // _V7_W,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] if windowed else [])
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
+        out_specs=[
+            pl.BlockSpec((_V7_W,), lambda b: (b,), memory_space=pltpu.VMEM)
+        ]
+        * (1 + n_cols),
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
+        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(*args, f_p, *vs)
+    anc = outs[0][:n_out]
+    return anc, tuple(o[:n_out] for o in outs[1:])
+
+
 # VMEM budget: one launch holds f plus a GROUP of state columns on-chip; cap
 # total per-launch input elements under the ~16 MB VMEM of a v5e core.  Wider
 # states (round-3 verdict #3: Lévy D=2 at 1M sat exactly at the old 3M cap;
@@ -1152,15 +1292,21 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
 #:   v5 dense staircase + bf16 MXU   79.6 ms sweep (micro said 1.5x FASTER)
 #:   v4 per-tile merge + MXU         ~10 ms/firing — scalar walk overhead
 #:   v3 sublane-windowed             4.95 ms/firing (round 3)
-#: v3/v4/v5 are kept as measured testbeds documenting the design space: fine
-#: granularity loses to Mosaic's scalar control; the MXU rewrite saves no
-#: wall time because the i32 mask compare — common to all variants — is the
-#: true bottleneck, not the accumulation it feeds.
+#:   v7 full-chunk lean (no gating)  6.2 ms/firing micro vs v1's 3.4 — the
+#:      count-only decode kernel's 1.37 ms does NOT extend to a fused move:
+#:      the f32 mask conversion + two multiply-reductions over the full
+#:      (1024,1024) mask cost more than v1's cond-gated half-chunk form.
+#: v3/v4/v5/v7 are kept as measured testbeds documenting the design space:
+#: fine granularity loses to Mosaic's scalar control; the MXU rewrite saves
+#: no wall time because the i32 mask compare + mask-sized multiply-reduce —
+#: common to all variants — are the true bottleneck, not the accumulation
+#: formulation.
 _MOVE_IMPLS = {
     1: _resample_move_cols,
     3: _resample_move_cols_v3,
     4: _resample_move_cols_v4,
     5: _resample_move_cols_v5,
+    7: _resample_move_cols_v7,
 }
 # APS_MOVE_VERSION: measurement override for same-session A/B on shared
 # hardware (the chip+host show a few percent of hour-scale drift, so absolute

@@ -83,7 +83,7 @@ def test_long_flat_run_spanning_blocks():
 
 from advancedps_tpu.ops.pallas_resample import resample_move
 
-VERSIONS = [1, 3, 4, 5]
+VERSIONS = [1, 3, 4, 5, 7]
 
 
 def _move_ref(u, w, n, m):
