@@ -1238,8 +1238,9 @@ def _move_group_size(m: int) -> int:
     return max(0, _MOVE_MAX_ELEMS // m - 1)
 
 
-def move_eligible(state, m: int) -> bool:
-    """True if the fused Pallas resample+move pipeline can handle this state.
+def move_ineligible_reason(state, m: int):
+    """``None`` if the fused Pallas resample+move pipeline can handle this
+    state, else a short human-readable reason for the XLA-gather fallback.
 
     Requirements: all leaves float32 with leading axis ``m`` (integer/f64
     leaves are excluded — the kernel moves values through f32 arithmetic, and
@@ -1248,16 +1249,28 @@ def move_eligible(state, m: int) -> bool:
     fit the per-launch VMEM budget with at least one value column.
     """
     if jax.default_backend() != "tpu":
-        return False
+        return "backend is not TPU"
     leaves = jax.tree_util.tree_leaves(state)
     if not leaves:
-        return False
+        return "empty state pytree"
     d = 0
     for leaf in leaves:
-        if leaf.dtype != jnp.float32 or leaf.ndim == 0 or leaf.shape[0] != m:
-            return False
+        if leaf.dtype != jnp.float32:
+            return f"non-float32 leaf (dtype {leaf.dtype})"
+        if leaf.ndim == 0 or leaf.shape[0] != m:
+            return f"leaf leading axis {leaf.shape} != particle count {m}"
         d += int(leaf.size) // m
-    return _move_group_size(m) >= 1 and d <= _MOVE_MAX_COLS
+    if _move_group_size(m) < 1:
+        return f"extents for m={m} exceed the per-launch VMEM budget"
+    if d > _MOVE_MAX_COLS:
+        return f"state width {d} > {_MOVE_MAX_COLS} columns"
+    return None
+
+
+def move_eligible(state, m: int) -> bool:
+    """True if the fused Pallas resample+move pipeline can handle this state
+    (see :func:`move_ineligible_reason` for the rules)."""
+    return move_ineligible_reason(state, m) is None
 
 
 def _flatten_cols(state, m):
