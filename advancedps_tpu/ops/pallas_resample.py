@@ -1348,7 +1348,12 @@ def _move_cols_grouped(impl, f, cols, n, start=None, n_out=None, interpret=False
     ~23 ms pure-XLA fallback.
     """
     m = f.shape[0]
-    g = max(1, _move_group_size(m))
+    # Fused value columns are EXPENSIVE: each adds a multiply-reduce over the
+    # whole mask volume (~1 ms/col at 1M — the measured D=1→D=2 delta), while
+    # batched-gather columns amortise to ~nothing.  Cap the fused group at 2
+    # regardless of the VMEM budget; the in-engine win on a 50-site generic
+    # sweep was 67 → 20 ms (round 4).
+    g = min(max(1, _move_group_size(m)), 2)
     if len(cols) <= g:
         return impl(f, cols, n, start=start, n_out=n_out, interpret=interpret)
     if len(cols) <= 2 * g:
