@@ -1309,6 +1309,11 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
 #:      count-only decode kernel's 1.37 ms does NOT extend to a fused move:
 #:      the f32 mask conversion + two multiply-reductions over the full
 #:      (1024,1024) mask cost more than v1's cond-gated half-chunk form.
+#:   v0 decode-only + XLA gather     351 ms sweep (vs v1's 76): the 1M
+#:      single-column gather costs ~18 ms per firing in-engine — the fused
+#:      move's entire reason to exist, now pinned by a same-session A/B.
+#:      (Batched WIDE takes amortise the per-row overhead across columns,
+#:      which is why the wide-state hybrid still gathers its overflow.)
 #: v3/v4/v5/v7 are kept as measured testbeds documenting the design space:
 #: fine granularity loses to Mosaic's scalar control; the MXU rewrite saves
 #: no wall time because the i32 mask compare + mask-sized multiply-reduce —
@@ -1384,9 +1389,19 @@ def resample_move_f(
 ):
     """As :func:`resample_move`, but from precomputed extents ``f``
     (e.g. the output of :func:`extents_from_logw` — skipping the XLA
-    normalise+cumsum chain entirely)."""
-    ver = version or DEFAULT_MOVE_VERSION
+    normalise+cumsum chain entirely).
+
+    ``version=0`` selects the decode-only kernel + whole-tree XLA gather
+    (no in-kernel value move) — an A/B alternative to the fused kernels.
+    """
+    ver = DEFAULT_MOVE_VERSION if version is None else version
     m = f.shape[0]
+    if ver == 0:
+        anc = jnp.clip(decode_ancestors(f, n, interpret=interpret), 0, m - 1)
+        moved = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, anc, axis=0), state
+        )
+        return anc, moved
     leaves, treedef, cols = _flatten_cols(state, m)
     anc, ys = _move_cols_grouped(
         _MOVE_IMPLS[ver], f, cols, n, interpret=interpret

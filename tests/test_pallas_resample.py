@@ -359,3 +359,27 @@ def test_hybrid_wide_move_matches_plain(monkeypatch):
     )
     assert int(anc_w[-1]) == m - 1
     np.testing.assert_array_equal(np.asarray(mv_w[-1]), np.zeros(7))
+
+
+def test_version0_decode_gather_matches_fused():
+    # The A/B alternative (decode-only + whole-tree XLA gather) must agree
+    # exactly with the fused move — it exists to keep the ~18 ms/firing
+    # in-engine gather cost measurable (APS_MOVE_VERSION=0; docs/benchmarks).
+    from advancedps_tpu.ops.pallas_resample import resample_move_f
+
+    m = n = 3000
+    rng = np.random.default_rng(5)
+    w = rng.gamma(0.4, size=m).astype(np.float32)
+    w /= w.sum()
+    f = jnp.clip(
+        jnp.ceil(n * jnp.cumsum(jnp.asarray(w)) - 0.3), 0, n
+    ).astype(jnp.int32)
+    st = {
+        "a": jnp.asarray(rng.standard_normal(m).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal((m, 3)).astype(np.float32)),
+    }
+    a1, m1 = resample_move_f(f, st, n, interpret=True, version=1)
+    a0, m0 = resample_move_f(f, st, n, interpret=True, version=0)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(m0["a"]), np.asarray(m1["a"]))
+    np.testing.assert_array_equal(np.asarray(m0["b"]), np.asarray(m1["b"]))
