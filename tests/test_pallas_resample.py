@@ -77,9 +77,12 @@ def test_long_flat_run_spanning_blocks():
 # --- fused resample+move kernel ----------------------------------------------
 #
 # All kernel generations are pinned against the same searchsorted oracle:
-# v1 (cumulative-count staircase), v3 (sublane-windowed owner-index
-# staircase) and v4 (per-tile merge + MXU move) must produce IDENTICAL
-# ancestors and bitwise-identical moved values for identical inputs.
+# v1 (cumulative-count staircase, production default), v3 (sublane-windowed),
+# v4 (per-tile merge + MXU), v5 (dense + bf16 MXU) and v7 (lean full-chunk)
+# must produce IDENTICAL ancestors and bitwise-identical moved values for
+# identical inputs; v0 (decode + XLA gather) is pinned separately below.
+# v3/v4/v5/v7 are measured testbeds, not production paths — see the version
+# table in ops/pallas_resample.py for the numbers that retired each.
 
 from advancedps_tpu.ops.pallas_resample import resample_move
 
