@@ -425,10 +425,17 @@ class Poisson(Distribution):
         #9): walk the pmf recurrence ``p_{k+1} = p_k·λ/(k+1)`` until the
         running cdf passes ``u`` — one cipher block per element instead of the
         per-gid ``fold_in`` + vmapped rejection fallback.  Iteration count is
-        ``max(λ) + O(√λ)`` (vector-wide), fine for the moderate rates SSM
-        likelihoods use.  For λ ≳ 87 the f32 ``exp(−λ)`` seed underflows; a
-        traced any()-gate falls back to the per-gid path for the whole batch
-        on such inputs (both paths are positional)."""
+        ``max(λ) + O(√λ)`` (vector-wide: one element with a large rate pays
+        the whole batch's iteration cost — heterogeneous-rate batches with a
+        big outlier rate degrade every element's draw).  For λ ≳ 87 the f32
+        ``exp(−λ)`` seed underflows; a traced any()-gate falls back to the
+        per-gid path for the WHOLE batch on such inputs (both paths are
+        positional).  The walk terminates once the f32 pmf term underflows
+        to zero — the cdf can saturate below the largest representable
+        uniform (1 − 2⁻²⁴), and without the ``p > 0`` gate a ``u`` in that
+        gap would spin to the runaway guard and return a garbage draw
+        (round-4 advisor finding); the gated form returns the last k with
+        nonzero pmf, a sane extreme-tail draw."""
         from . import rng as rngmod
 
         gids = jnp.asarray(gids)
@@ -442,11 +449,11 @@ class Poisson(Distribution):
 
             def cond(c):
                 k, p, csum, kout = c
-                return jnp.any(u >= csum) & (k < kmax)
+                return jnp.any((u >= csum) & (p > 0)) & (k < kmax)
 
             def body(c):
                 k, p, csum, kout = c
-                kout = jnp.where(u >= csum, k + 1.0, kout)
+                kout = jnp.where((u >= csum) & (p > 0), k + 1.0, kout)
                 p = p * r / (k + 1.0)
                 return k + 1.0, p, csum + p, kout
 

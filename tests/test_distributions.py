@@ -226,3 +226,16 @@ def test_categorical_positional_batched_probs():
     assert (s[0::2] == 0).all()
     assert set(np.unique(s[1::2])) <= {1, 2}
     np.testing.assert_allclose((s[1::2] == 2).mean(), 0.8, atol=5e-3)
+
+
+def test_poisson_positional_cdf_saturation_terminates():
+    # Round-4 advisor finding (medium): for rates where the f32 cdf saturates
+    # below the largest representable uniform (e.g. λ = 1, 10, 60, 86), a
+    # draw with u ≥ csum_final used to spin the whole batch 65536 iterations
+    # and return the runaway-guard value 65536.0.  gid 1900208 at λ=60 under
+    # key 0 is such a draw; the p>0-gated walk must return a sane tail value.
+    key = jax.random.key(0)
+    gids = jnp.asarray([1900208, 0, 1, 2])
+    out = np.asarray(Poisson(60.0).sample_positional(key, gids))
+    assert out[0] < 200.0, out  # extreme-tail draw, not the runaway guard
+    assert (out >= 0).all() and (out < 200.0).all()
