@@ -38,6 +38,9 @@ __all__ = [
     "decode_ancestors",
     "systematic_pallas",
     "extents_from_logw",
+    "scaled_prefix_from_logw",
+    "prefix_sum",
+    "count_le_sorted",
     "resample_move",
     "resample_move_f",
     "resample_move_window",
@@ -143,6 +146,56 @@ _EX_SUB = 128  # sublane rows per block tile
 _EX_BLK = _EX_SUB * 128  # elements per grid step (grid-launch overhead bound)
 
 
+def _block_prefix(e):
+    """Inclusive prefix over one (_EX_SUB, 128) block: prefix along lanes
+    (row-local), then carry row totals down the sublanes — standard log-step
+    scan, 7 + 7 masked shifts.  Returns (inclusive prefix, sublane running
+    totals ``rp`` whose last row holds the block total)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_EX_SUB, 128), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (_EX_SUB, 1), 0)
+    p = e
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        p = p + jnp.where(lane >= k, pltpu.roll(p, shift=k, axis=1), 0.0)
+    row_tot = jax.lax.slice(p, (0, 127), (_EX_SUB, 128))  # (_EX_SUB, 1)
+    rp = row_tot
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        rp = rp + jnp.where(subl >= k, pltpu.roll(rp, shift=k, axis=0), 0.0)
+    row_excl = jnp.where(subl == 0, 0.0, pltpu.roll(rp, shift=1, axis=0))
+    return p + row_excl, rp
+
+
+def _kahan_update(carry_ref, base, total):
+    """Kahan-compensated running sum across blocks (carry_ref[0] = sum,
+    carry_ref[1] = compensation)."""
+    comp = carry_ref[1]
+    y = total - comp
+    t_new = base + y
+    carry_ref[1] = (t_new - base) - y
+    carry_ref[0] = t_new
+
+
+def _block_runmax(x):
+    """Running (cumulative) max over one (_EX_SUB, 128) block, row-major
+    order — the same log-step shift structure as :func:`_block_prefix` with
+    ``max`` instead of ``+``.  Used to make emitted prefixes *bitwise*
+    nondecreasing: the log-step sum scan computes neighbouring prefixes
+    through different summation trees, so a later element can round an ulp
+    BELOW an earlier one — and the decode+move staircase requires monotone
+    extents (its telescoped owner mask breaks on a dip)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_EX_SUB, 128), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (_EX_SUB, 1), 0)
+    ninf = jnp.float32(-jnp.inf)
+    p = x
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        p = jnp.maximum(p, jnp.where(lane >= k, pltpu.roll(p, shift=k, axis=1), ninf))
+    row_m = jax.lax.slice(p, (0, 127), (_EX_SUB, 128))  # (_EX_SUB, 1)
+    rm = row_m
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        rm = jnp.maximum(rm, jnp.where(subl >= k, pltpu.roll(rm, shift=k, axis=0), ninf))
+    row_excl = jnp.where(subl == 0, ninf, pltpu.roll(rm, shift=1, axis=0))
+    return jnp.maximum(p, row_excl)
+
+
 def _make_extents_kernel(nr: int):
     def kernel(scal_ref, logw_ref, f_ref, carry_ref):
         b = pl.program_id(0)
@@ -151,39 +204,28 @@ def _make_extents_kernel(nr: int):
         def _():
             carry_ref[0] = 0.0  # running sum of exp(logw - m)
             carry_ref[1] = 0.0  # Kahan compensation
+            carry_ref[2] = 0.0  # largest extent emitted so far (monotone guard)
 
         m = scal_ref[0]
         inv_s1 = scal_ref[1]
         u = scal_ref[2]
 
         e = jnp.exp(logw_ref[:].reshape(_EX_SUB, 128) - m)
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_EX_SUB, 128), 1)
-        subl = jax.lax.broadcasted_iota(jnp.int32, (_EX_SUB, 1), 0)
-        # Inclusive prefix along lanes (row-local), then carry row totals
-        # down the sublanes: standard log-step scan, 7 + 7 masked shifts.
-        p = e
-        for k in (1, 2, 4, 8, 16, 32, 64):
-            p = p + jnp.where(lane >= k, pltpu.roll(p, shift=k, axis=1), 0.0)
-        row_tot = jax.lax.slice(p, (0, 127), (_EX_SUB, 128))  # (_EX_SUB, 1)
-        rp = row_tot
-        for k in (1, 2, 4, 8, 16, 32, 64):
-            rp = rp + jnp.where(subl >= k, pltpu.roll(rp, shift=k, axis=0), 0.0)
-        row_excl = jnp.where(subl == 0, 0.0, pltpu.roll(rp, shift=1, axis=0))
-        prefix = p + row_excl  # inclusive over the whole block
+        prefix, rp = _block_prefix(e)
 
         base = carry_ref[0]
         cdf = (base + prefix) * inv_s1
-        f = jnp.clip(jnp.ceil(nr * cdf - u), 0.0, float(nr)).astype(jnp.int32)
-        f_ref[:] = f.reshape(_EX_BLK)
+        ff = jnp.clip(jnp.ceil(nr * cdf - u), 0.0, float(nr))
+        # Bitwise-monotone guard: the log-step scan's differing summation
+        # trees can round a later prefix an ulp below an earlier one, and at
+        # an exact stratum boundary that would emit a DECREASING extent —
+        # which the decode+move staircase cannot absorb.  nr < 2^24 keeps
+        # the float running max exact.
+        ff = jnp.maximum(_block_runmax(ff), carry_ref[2])
+        f_ref[:] = ff.astype(jnp.int32).reshape(_EX_BLK)
 
-        # Kahan-compensated running sum across blocks.
-        total = rp[_EX_SUB - 1, 0]
-        comp = carry_ref[1]
-        y = total - comp
-        t_new = base + y
-        carry_ref[1] = (t_new - base) - y
-        carry_ref[0] = t_new
+        carry_ref[2] = ff[_EX_SUB - 1, 127]
+        _kahan_update(carry_ref, base, rp[_EX_SUB - 1, 0])
 
     return kernel
 
@@ -215,10 +257,196 @@ def extents_from_logw(logw, m, s1, u, n: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((_EX_BLK,), lambda b: (b,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((logw.shape[0],), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((3,), jnp.float32)],
         interpret=interpret,
     )(scal, logw)
     return f[:mm]
+
+
+# ---------------------------------------------------------------------------
+# Scaled-prefix + sorted merge-count: the monotone-extents reduction for
+# stratified and multinomial resampling (round-4 verdict, next #1)
+# ---------------------------------------------------------------------------
+#
+# Both non-systematic schemes reduce to the SAME problem the fused
+# decode+move kernel already solves — nondecreasing int32 extents ``f_j`` =
+# #positions ≤ cdf_j — because their positions are sorted by construction:
+#
+# * stratified positions ``(k + u_k)/n`` are sorted, and because ``u_k`` is a
+#   POSITIONAL uniform (a pure function of (key, k), rng.py) the extent has a
+#   closed form needing ONE cipher evaluation per particle, no gather:
+#   with ``c_j = n·cdf_j``, ``f_j = ⌊c_j⌋ + [u_{⌊c_j⌋} ≤ frac(c_j)]`` —
+#   see ``resampling.stratified_extents``.
+# * multinomial uniforms are GENERATED sorted via the exponential-spacings
+#   order-statistics construction (Devroye 1986, §V.3): with n+1 iid Exp(1)
+#   gaps ``G_k`` and prefix sums ``S_k``, the sorted uniforms are
+#   ``S_k / S_n``; then ``f_j = #{k < n : S_k ≤ cdf_j · S_n}`` — one
+#   merge-count of two sorted arrays (kernel below).
+#
+# The kernels here supply the two primitives: ``scaled_prefix_from_logw``
+# (the extents kernel's exp+prefix pass emitting the FLOAT scaled cdf,
+# ``(Σ_{i≤j} exp(logw_i − m)) · scale``) and ``count_le_sorted`` (staircase
+# merge-count, the float-threshold analogue of ``decode_ancestors``).
+
+
+def _make_scaled_prefix_kernel(use_exp: bool):
+    def kernel(scal_ref, x_ref, out_ref, carry_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[0] = 0.0  # running sum across blocks
+            carry_ref[1] = 0.0  # Kahan compensation
+            carry_ref[2] = -jnp.inf  # largest value emitted (monotone guard)
+
+        m = scal_ref[0]
+        scale = scal_ref[1]
+
+        x = x_ref[:].reshape(_EX_SUB, 128)
+        e = jnp.exp(x - m) if use_exp else x
+        prefix, rp = _block_prefix(e)
+
+        base = carry_ref[0]
+        # Bitwise-monotone output (see _block_runmax): required downstream —
+        # count_le_sorted's cross-block masking and stratified_extents'
+        # nondecreasing-extents contract both assume it.
+        out = _block_runmax((base + prefix) * scale)
+        out = jnp.maximum(out, carry_ref[2])
+        out_ref[:] = out.reshape(_EX_BLK)
+        carry_ref[2] = out[_EX_SUB - 1, 127]
+        _kahan_update(carry_ref, base, rp[_EX_SUB - 1, 0])
+
+    return kernel
+
+
+def _scaled_prefix(x, m, scale, use_exp, interpret):
+    mm = x.shape[0]
+    pad = (-mm) % _EX_BLK
+    if pad:
+        # exp path: -inf pads contribute exp = 0; identity path: 0 pads.
+        fill = -jnp.inf if use_exp else 0.0
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    scal = jnp.stack([jnp.asarray(m, jnp.float32),
+                      jnp.asarray(scale, jnp.float32)])
+    out = pl.pallas_call(
+        _make_scaled_prefix_kernel(use_exp),
+        grid=(x.shape[0] // _EX_BLK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_EX_BLK,), lambda b: (b,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_EX_BLK,), lambda b: (b,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0],), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((3,), jnp.float32)],
+        interpret=interpret,
+    )(scal, x.astype(jnp.float32))
+    return out[:mm]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def scaled_prefix_from_logw(logw, m, scale, interpret: bool = False):
+    """``(Σ_{i≤j} exp(logw_i − m)) · scale`` as float32 — the scaled weight
+    CDF in one streamed pass (same prefix machinery and Kahan carry as
+    :func:`extents_from_logw`, float output, no ceil).  ``scale`` is a traced
+    scalar: ``n/s1`` gives stratified's ``c = n·cdf``; ``S_total/s1`` gives
+    multinomial's merge thresholds ``cdf·S_total``."""
+    return _scaled_prefix(logw, m, scale, use_exp=True, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def prefix_sum(x, interpret: bool = False):
+    """Inclusive float32 prefix sum in one streamed Pallas pass — replaces
+    XLA's multi-pass 1M ``cumsum`` (~1.5 ms/firing) for the multinomial
+    exponential-spacings construction.  Pairwise-class error per block +
+    Kahan-compensated cross-block carry (monotone for nonnegative input)."""
+    return _scaled_prefix(x, 0.0, 1.0, use_exp=False, interpret=interpret)
+
+
+# Merge-count block sizes: one 1024-threshold output block per grid step,
+# walking 1024-element chunks of the sorted values (same staircase economics
+# as the decode kernel: each chunk is consumed exactly once across the grid).
+_CT_C = 1024
+_CT_W = 1024
+
+
+def _count_le_kernel(s_ref, t_ref, out_ref, icarry_ref, fcarry_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        icarry_ref[0] = 0  # chunk pointer (units of _CT_C)
+        icarry_ref[1] = 0  # jbase: #values counted by earlier blocks
+        fcarry_ref[0] = -jnp.inf  # last threshold of the previous block
+
+    tb = t_ref[:]  # (_CT_W,) nondecreasing thresholds
+    t_last = tb[_CT_W - 1]
+    t_prev = fcarry_ref[0]
+    ptr0 = icarry_ref[0]
+    jbase = icarry_ref[1]
+    num_chunks = s_ref.shape[0] // _CT_C
+
+    def cond(c):
+        return jnp.logical_not(c[-1])
+
+    def body(c):
+        ptr, h, _ = c
+        chunk = s_ref[pl.ds(pl.multiple_of(ptr * _CT_C, _CT_C), _CT_C)]
+        chunk2 = chunk[:, None] + jnp.zeros((_CT_C, _CT_W), jnp.float32)
+        # Values ≤ the previous block's last threshold were already counted
+        # into jbase by earlier blocks (thresholds are sorted).
+        contrib = (chunk2 > t_prev) & (chunk2 <= tb[None, :])
+        h = h + jnp.sum(contrib.astype(jnp.int32), axis=0)
+        last = chunk[_CT_C - 1]
+        stop = (last > t_last) | (ptr + 1 >= num_chunks)
+        ptr = jnp.where(stop, ptr, ptr + 1)
+        return ptr, h, stop
+
+    ptr, h, _ = jax.lax.while_loop(
+        cond, body, (ptr0, jnp.zeros((_CT_W,), jnp.int32), jnp.asarray(False))
+    )
+
+    out_ref[:] = jbase + h
+    icarry_ref[0] = ptr
+    icarry_ref[1] = jbase + h[_CT_W - 1]
+    fcarry_ref[0] = t_last
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def count_le_sorted(s: jax.Array, t: jax.Array, interpret: bool = False):
+    """``out[j] = #{k : s_k ≤ t_j}`` for SORTED (nondecreasing) float32 ``s``
+    and ``t`` — the float-threshold analogue of :func:`decode_ancestors`,
+    O(|s| + |t|) chunk walks of dense VPU compares.  The output is the
+    nondecreasing extents vector consumed by :func:`resample_move_f`."""
+    ns, nt = s.shape[0], t.shape[0]
+    pad_s = (-ns) % _CT_C
+    pad_t = (-nt) % _CT_W
+    s_p = jnp.concatenate(
+        [s.astype(jnp.float32), jnp.full((pad_s,), jnp.inf, jnp.float32)]
+    ) if pad_s else s.astype(jnp.float32)
+    if pad_t:
+        # Pad thresholds with the last real one: keeps them nondecreasing and
+        # avoids walking every remaining chunk for the sliced-off tail.
+        t_p = jnp.concatenate(
+            [t.astype(jnp.float32), jnp.full((pad_t,), 1.0, jnp.float32) * t[nt - 1]]
+        )
+    else:
+        t_p = t.astype(jnp.float32)
+    out = pl.pallas_call(
+        _count_le_kernel,
+        grid=(t_p.shape[0] // _CT_W,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CT_W,), lambda b: (b,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_CT_W,), lambda b: (b,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_p.shape[0],), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(s_p, t_p)
+    return out[:nt]
 
 
 # ---------------------------------------------------------------------------
@@ -455,774 +683,6 @@ def _resample_move_cols(
     return anc, tuple(o[:n_out] for o in outs[1:])
 
 
-# ---------------------------------------------------------------------------
-# v3: sublane-windowed owner-index decode + move
-# ---------------------------------------------------------------------------
-#
-# The v1 kernel above compares every overlapping 512-row input sub-slice against
-# ALL 1024 slots of the output block — O(N·(C+W)) dense work, ~3.6 ms per
-# 1M-particle decode+move (D=1) on v5e, the dominant cost of a triggered
-# resampling step.  But a 128-row sub-slice of the (sorted) extents owns only
-# the slot range ``[f_prev, f_last)`` — about 128 slots when offspring counts
-# are near 1 — so comparing it only against the 128-slot tiles it actually
-# owns cuts the compare volume ~8×.
-#
-# A first attempt (v2, removed — see git history) implemented exactly that but
-# lost to v1 (5.7 vs 3.6 ms): per-sub-slice ``(1,128)→(128,1)`` relayouts,
-# traced ``fori_loop`` tile bounds and dynamic read-modify-write output stores
-# cost more than the compares saved.  v3 keeps the windowing but fixes the
-# lowering:
-#
-# * rows live in SUBLANES: each 1024-row chunk is transposed ONCE to
-#   ``(128, 8)``, so a sub-slice is a static lane slice (no per-sub-slice
-#   relayout) and the owner-sum is a cheap sublane reduction;
-# * the 8 sub-slices × 8 slot tiles form a STATIC 8×8 grid of ``pl.when``
-#   regions (scalar `need` test each) — no traced-bound loops;
-# * outputs accumulate via static 128-slot slices of the 1-D output block
-#   (slot ``k`` sits at ``(k//128, k%128)`` of the (8,128) tile, so
-#   ``out[t*128:(t+1)*128]`` is one vreg row — no dynamic RMW).
-#
-# Owner-index formulation (vs v1's cumulative-count): with
-# ``cle_{j,k} = (f_j ≤ k)`` the owner mask telescopes per row,
-# ``own_{j,k} = cle_{j-1,k} − cle_{j,k} ∈ {0,1}``, and
-#
-#   anc[k] = Σ_j own_{j,k} · j        (the owner's row index — exact int sum)
-#   out[k] = Σ_j own_{j,k} · v_j      (exactly one nonzero term ⇒ exact copy)
-#
-# Every term is local to the owning sub-slice, so windowed accumulation needs
-# no cross-window bookkeeping.  Sentinel-padded rows (extent 2^30, ≥1
-# guaranteed) own all output slots past the population: those decode to the
-# first sentinel row id (clipped to m−1 by the caller) with moved value 0.
-#
-# Walk state (SMEM, sequential grid): the 1024-row chunk pointer and the last
-# extent of fully-consumed chunks (seeds sub-slice 0's telescope).
-
-_V3_SUB = 128  # rows per sub-slice == slots per tile (lane width)
-_V3_BLK = 1024  # slots per grid step == rows per chunk
-
-
-def _make_move_kernel_v3(n_cols: int):
-    """Kernel over ``win, f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
-
-    1-D layouts as v1 (``f``/``v_c`` are ``[M_pad]``, outputs ``[n_pad]``);
-    ``win`` (SMEM int32[3]) = (output-window start, initial chunk pointer,
-    extent of the last row before that chunk).
-    """
-
-    def kernel(*refs):
-        win_ref = refs[0]
-        f_ref = refs[1]
-        v_refs = refs[2 : 2 + n_cols]
-        anc_ref = refs[2 + n_cols]
-        out_refs = refs[3 + n_cols : 3 + 2 * n_cols]
-        carry_ref = refs[-1]
-
-        b = pl.program_id(0)
-
-        @pl.when(b == 0)
-        def _():
-            carry_ref[0] = win_ref[1]  # chunk pointer (units of _V3_BLK rows)
-            carry_ref[1] = win_ref[2]  # last extent before that chunk
-
-        base = win_ref[0] + b * _V3_BLK
-        block_end = base + _V3_BLK - 1
-        num_chunks = f_ref.shape[0] // _V3_BLK
-
-        anc_ref[:] = jnp.zeros((_V3_BLK,), jnp.int32)
-        for o in out_refs:
-            o[:] = jnp.zeros((_V3_BLK,), jnp.float32)
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _V3_SUB), 1)
-        subl = jax.lax.broadcasted_iota(jnp.int32, (_V3_SUB, 1), 0)
-        nsub = _V3_BLK // _V3_SUB  # 8 sub-slices per chunk / tiles per block
-
-        def cond(c):
-            return jnp.logical_not(c[-1])
-
-        def body(c):
-            ptr, prev_chunk_last, _ = c
-            off = pl.multiple_of(ptr * _V3_BLK, _V3_BLK)
-            chunk = f_ref[pl.ds(off, _V3_BLK)]
-            fT = jnp.transpose(chunk.reshape(nsub, _V3_SUB))  # (128, 8)
-            vTs = [
-                jnp.transpose(v_ref[pl.ds(off, _V3_BLK)].reshape(nsub, _V3_SUB))
-                for v_ref in v_refs
-            ]
-
-            for s in range(nsub):
-                col = jax.lax.slice(fT, (0, s), (_V3_SUB, s + 1))  # (128,1)
-                prev_s = (
-                    chunk[s * _V3_SUB - 1] if s > 0 else prev_chunk_last
-                )
-                sub_last = chunk[s * _V3_SUB + _V3_SUB - 1]
-                rowbase = ptr * _V3_BLK + s * _V3_SUB
-                vcols = [
-                    jax.lax.slice(vT, (0, s), (_V3_SUB, s + 1)) for vT in vTs
-                ]
-                for t in range(nsub):
-                    tbase = base + t * _V3_SUB
-                    # This sub-slice owns slots [prev_s, sub_last); the tile
-                    # covers [tbase, tbase + 127].
-                    need = (sub_last > tbase) & (prev_s < tbase + _V3_SUB)
-
-                    @pl.when(need)
-                    def _(s=s, t=t, col=col, prev_s=prev_s, rowbase=rowbase,
-                          vcols=vcols, tbase=tbase):
-                        pos = tbase + lane  # (1, 128)
-                        cle = (col <= pos).astype(jnp.int32)  # (128, 128)
-                        shifted = pltpu.roll(cle, shift=1, axis=0)
-                        prow = (prev_s <= pos).astype(jnp.int32)  # (1, 128)
-                        prevrows = jnp.where(subl == 0, prow, shifted)
-                        own = prevrows - cle  # {0,1}, ≤ one 1 per slot
-                        rowid = rowbase + subl  # (128, 1)
-                        sl = slice(t * _V3_SUB, (t + 1) * _V3_SUB)
-                        anc_ref[sl] += jnp.sum(own * rowid, axis=0)
-                        ownf = own.astype(jnp.float32)
-                        for o, v in zip(out_refs, vcols):
-                            o[sl] += jnp.sum(ownf * v, axis=0)
-
-            chunk_last = chunk[_V3_BLK - 1]
-            stop = (chunk_last > block_end) | (ptr + 1 >= num_chunks)
-            adv = jnp.logical_not(stop)
-            ptr_n = jnp.where(adv, ptr + 1, ptr)
-            prev_n = jnp.where(adv, chunk_last, prev_chunk_last)
-            return ptr_n, prev_n, stop
-
-        ptr, prev_last, _ = jax.lax.while_loop(
-            cond, body, (carry_ref[0], carry_ref[1], jnp.asarray(False))
-        )
-        carry_ref[0] = ptr
-        carry_ref[1] = prev_last
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
-def _resample_move_cols_v3(f, cols, n, start=None, n_out=None, interpret=False):
-    """v3 fused decode+move (see block comment above): same contract as
-    :func:`_resample_move_cols` — identical ``anc``/moved values for identical
-    inputs — at ~1/8 the compare volume."""
-    m = f.shape[0]
-    windowed = n_out is not None
-    if not windowed:
-        n_out = n
-    # Pad to whole 1024-row chunks with ≥1 sentinel row: slots past the
-    # population need a sentinel owner (id ≥ m → clipped to m−1, value 0).
-    pad_in = (-m) % _V3_BLK or _V3_BLK
-    n_pad = -(-n_out // _V3_BLK) * _V3_BLK
-    sentinel = jnp.int32(1 << 30)
-    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
-    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
-    vs = []
-    zpad = jnp.zeros((pad_in,), jnp.float32)
-    for c in cols:
-        vs.append(jnp.concatenate([c.astype(jnp.float32), zpad]))
-
-    if windowed:
-        start = jnp.asarray(start, jnp.int32)
-        # First chunk holding a row with f > start (earlier rows own only
-        # slots < start); its telescope seed is the extent just before it.
-        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
-        ptr0 = j0 // _V3_BLK
-        prev0 = jnp.where(
-            ptr0 > 0, f_p[jnp.maximum(ptr0 * _V3_BLK - 1, 0)], jnp.int32(0)
-        )
-        win = jnp.stack([start, ptr0, prev0])
-    else:
-        win = jnp.zeros((3,), jnp.int32)
-
-    n_cols = len(vs)
-    outs = pl.pallas_call(
-        _make_move_kernel_v3(n_cols),
-        grid=(n_pad // _V3_BLK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
-        out_specs=[
-            pl.BlockSpec((_V3_BLK,), lambda b: (b,), memory_space=pltpu.VMEM)
-        ]
-        * (1 + n_cols),
-        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
-        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
-        interpret=interpret,
-    )(win, f_p, *vs)
-    anc = outs[0][:n_out]
-    return anc, tuple(o[:n_out] for o in outs[1:])
-
-
-# ---------------------------------------------------------------------------
-# v4: per-tile merge walk + MXU move
-# ---------------------------------------------------------------------------
-#
-# v1 (the round-3 default) compares every live 512-row input sub-slice against
-# all 1024 slots of the output block — ~1.3k compares per output slot, 3.6 ms
-# per 1M-particle firing on v5e, ~70x above the ~16 MB HBM roofline.  v3 cut
-# the compare volume 8x by windowing but lost to its own lowering (per-chunk
-# transposes, 64 scalar ``pl.when`` gates, VMEM read-modify-write).  v4 keeps
-# the windowed O(N·128/lanes) compare volume and fixes the lowering:
-#
-# * the unit of work is a (128-row window x 128-slot tile) FIRE inside a
-#   per-tile ``while_loop`` merge: windows and slots advance together (both
-#   sorted), so the loop runs ~1-2 fires per tile instead of scanning an 8x8
-#   grid of scalar gates;
-# * the owner mask is built with TWO compares and no telescoping chain:
-#   ``own[j, k] = (f_{j-1} <= k) & (k < f_j)``, with ``f_{j-1}`` a one-row
-#   sublane roll of the window column seeded by the carried previous extent;
-# * ancestor index and ALL moved value columns come out of ONE MXU matmul,
-#   ``[rowid; v_0 ...] (1+C, 128) @ own (128, 128) -> (1+C, 128)``,
-#   accumulated in registers (the while carry) and written once per tile.
-#
-# Exactness: ``own`` has at most one nonzero row per slot, so every output
-# column of the matmul is ``0 + ... + v_j + ... + 0`` — an exact f32 copy
-# under any accumulation order, including the MXU's f32 (bf16x3) path, whose
-# splitting is exact for multiplicands 0.0/1.0.  The ancestor row accumulates
-# integer row ids < 2^24 in f32, also exact (guarded in the wrapper).
-# Value rows ride the same lane layout as the 1-D inputs (no transpose); only
-# the 128-extent window is transposed to a sublane column per fire.
-
-_V4_SUB = 128  # rows per window == slots per tile (lane width)
-_V4_BLK = 1024  # slots per grid step (8 tiles)
-_V4_CHUNK = 1024  # load granularity (1-D VMEM alignment requirement)
-
-
-def _make_move_kernel_v4(n_cols: int, windowed: bool):
-    """Kernel over ``[win,] f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
-
-    1-D layouts as v1/v3; ``win`` (SMEM int32[3], windowed calls only) =
-    (output-window start, initial window pointer in 128-row units, extent of
-    the last row before that window).  SMEM carry: (window pointer, previous
-    extent).
-
-    CRITICAL (measured on v5e): the extents/value arrays are taken as
-    ``pltpu.ANY`` (HBM) operands and DMA'd to VMEM scratch ONCE at grid step
-    0.  With plain whole-array VMEM in_specs the pipeline re-copied both
-    full arrays on EVERY grid step whenever the operands were produced by
-    upstream XLA ops (the pad/concat prologue) or accompanied by an SMEM
-    operand — 977 steps × 8 MB ≈ 10 ms of pure HBM traffic, 25× the
-    kernel's real cost; bisected on hardware, mechanism in Mosaic's
-    pipelining of grid-invariant operands.  Manual staging makes the
-    once-only copy explicit and provenance-independent.
-    """
-
-    def kernel(*refs):
-        off0 = 1 if windowed else 0
-        win_ref = refs[0] if windowed else None
-        f_hbm = refs[off0]
-        v_hbms = refs[off0 + 1 : off0 + 1 + n_cols]
-        anc_ref = refs[off0 + 1 + n_cols]
-        out_refs = refs[off0 + 2 + n_cols : off0 + 2 + 2 * n_cols]
-        f_ref = refs[off0 + 2 + 2 * n_cols]
-        v_refs = refs[off0 + 3 + 2 * n_cols : off0 + 3 + 3 * n_cols]
-        sem = refs[-2]
-        carry_ref = refs[-1]
-
-        b = pl.program_id(0)
-
-        @pl.when(b == 0)
-        def _():
-            cps = [pltpu.make_async_copy(f_hbm, f_ref, sem.at[0])]
-            cps += [
-                pltpu.make_async_copy(vh, vr, sem.at[1 + c])
-                for c, (vh, vr) in enumerate(zip(v_hbms, v_refs))
-            ]
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
-            # window pointer (units of _V4_SUB rows); extent of last row before
-            carry_ref[0] = win_ref[1] if windowed else 0
-            carry_ref[1] = win_ref[2] if windowed else 0
-
-        base = (win_ref[0] if windowed else 0) + b * _V4_BLK
-        nwin = f_ref.shape[0] // _V4_SUB
-        nsub = _V4_CHUNK // _V4_SUB  # 128-row windows per 1024-row chunk
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _V4_SUB), 1)
-        subl = jax.lax.broadcasted_iota(jnp.int32, (_V4_SUB, 1), 0)
-
-        wptr = carry_ref[0]
-        prev_f = carry_ref[1]
-
-        def window(ref, wptr):
-            # 1-D i32/f32 VMEM loads must be 1024-aligned: load the whole
-            # chunk (4 vregs) and extract window ``wptr % 8`` with static
-            # selects (a register op; dynamic sublane slices don't lower).
-            off = pl.multiple_of((wptr // nsub) * _V4_CHUNK, _V4_CHUNK)
-            chunk = ref[pl.ds(off, _V4_CHUNK)].reshape(nsub, _V4_SUB)
-            s = wptr % nsub
-            row = chunk[0:1]
-            for i in range(1, nsub):
-                row = jnp.where(s == i, chunk[i : i + 1], row)
-            return row  # (1, _V4_SUB)
-
-        for t in range(_V4_BLK // _V4_SUB):
-            tbase = base + t * _V4_SUB
-            tend = tbase + _V4_SUB - 1
-            pos = tbase + lane  # (1, 128) slot ids on lanes
-
-            def cond(c):
-                return c[-1]
-
-            def body(c, tbase=tbase, tend=tend, pos=pos):
-                wptr, prev_f, acc, _ = c
-                fwin = window(f_ref, wptr)  # (1, 128)
-                last = fwin[0, _V4_SUB - 1]
-
-                def fire(acc):
-                    fcol = jnp.transpose(fwin)  # (128, 1)
-                    fprev = jnp.where(
-                        subl == 0, prev_f, pltpu.roll(fcol, shift=1, axis=0)
-                    )
-                    own = ((fprev <= pos) & (pos < fcol)).astype(jnp.float32)
-                    rowid = (wptr * _V4_SUB + lane).astype(jnp.float32)
-                    rows = [rowid] + [window(v_ref, wptr) for v_ref in v_refs]
-                    lhs = rows[0] if n_cols == 0 else jnp.concatenate(rows, 0)
-                    # Precision.HIGHEST: the MXU's default f32 path is a single
-                    # bf16 pass, which truncates row ids > 255 and the moved
-                    # values; the 6-pass f32 emulation is exact here (every
-                    # product is 0·x or 1·x and each output sums one nonzero).
-                    return acc + jax.lax.dot_general(
-                        lhs,
-                        own,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-
-                # Fire only when the window owns slots in this tile (rows with
-                # f <= tbase own only earlier slots).
-                acc = jax.lax.cond(last > tbase, fire, lambda a: a, acc)
-                adv = last <= tend  # window can own nothing beyond this tile
-                more = adv & (wptr + 1 < nwin)
-                wptr_n = jnp.where(more, wptr + 1, wptr)
-                prev_n = jnp.where(more, last, prev_f)
-                return wptr_n, prev_n, acc, more
-
-            acc0 = jnp.zeros((1 + n_cols, _V4_SUB), jnp.float32)
-            wptr, prev_f, acc, _ = jax.lax.while_loop(
-                cond, body, (wptr, prev_f, acc0, jnp.asarray(True))
-            )
-            sl = slice(t * _V4_SUB, (t + 1) * _V4_SUB)
-            anc_ref[sl] = acc[0].astype(jnp.int32)
-            for o, r in zip(out_refs, range(1, 1 + n_cols)):
-                o[sl] = acc[r]
-
-        carry_ref[0] = wptr
-        carry_ref[1] = prev_f
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
-def _resample_move_cols_v4(f, cols, n, start=None, n_out=None, interpret=False):
-    """v4 fused decode+move (see block comment above): same contract as
-    :func:`_resample_move_cols` — identical ancestors and bitwise-identical
-    moved values for identical inputs."""
-    m = f.shape[0]
-    windowed = n_out is not None
-    if not windowed:
-        n_out = n
-    # >= 1 sentinel row: slots past the population decode to the first
-    # sentinel row (clipped to m-1 by the caller) with moved value 0, and the
-    # merge can never run out of windows before the last tile.  Chunk-granular
-    # padding: the kernel loads whole 1024-element chunks.
-    pad_in = (-m) % _V4_CHUNK or _V4_CHUNK
-    if m + pad_in >= (1 << 24):
-        raise ValueError("v4 kernel requires m + pad < 2^24 for exact f32 row ids")
-    n_pad = -(-n_out // _V4_BLK) * _V4_BLK
-    sentinel = jnp.int32(1 << 30)
-    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
-    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
-    zpad = jnp.zeros((pad_in,), jnp.float32)
-    vs = [jnp.concatenate([c.astype(jnp.float32), zpad]) for c in cols]
-
-    args = []
-    if windowed:
-        start = jnp.asarray(start, jnp.int32)
-        # First 128-row window holding a row with f > start; its merge seed is
-        # the extent just before it (rows below own only slots < start).
-        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
-        ptr0 = j0 // _V4_SUB
-        prev0 = jnp.where(
-            ptr0 > 0, f_p[jnp.maximum(ptr0 * _V4_SUB - 1, 0)], jnp.int32(0)
-        )
-        args.append(jnp.stack([start, ptr0, prev0]))
-
-    n_cols = len(vs)
-    m_pad = f_p.shape[0]
-    outs = pl.pallas_call(
-        _make_move_kernel_v4(n_cols, windowed),
-        grid=(n_pad // _V4_BLK,),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] if windowed else [])
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + n_cols),
-        out_specs=[
-            pl.BlockSpec((_V4_BLK,), lambda b: (b,), memory_space=pltpu.VMEM)
-        ]
-        * (1 + n_cols),
-        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
-        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
-        scratch_shapes=[
-            pltpu.VMEM((m_pad,), jnp.int32),
-        ]
-        + [pltpu.VMEM((m_pad,), jnp.float32)] * n_cols
-        + [
-            pltpu.SemaphoreType.DMA((1 + n_cols,)),
-            pltpu.SMEM((2,), jnp.int32),
-        ],
-        interpret=interpret,
-    )(*args, f_p, *vs)
-    anc = outs[0][:n_out]
-    return anc, tuple(o[:n_out] for o in outs[1:])
-
-
-# ---------------------------------------------------------------------------
-# v5: v1's dense staircase with MXU accumulation (exact bf16 splits)
-# ---------------------------------------------------------------------------
-#
-# Round-4 finding: the per-tile merge (v4) loses to its own scalar control —
-# ~140 cycles of window-extract/branch bookkeeping per 128-row fire x ~16k
-# fires ~ 2.4 ms before any compute (measured via an empty-fire ablation);
-# total 10.1 ms vs v1's 3.4 (all varied-input timings — loop-invariant
-# harnesses get hoisted by XLA and read ~25x too fast; see git history).
-# The dense-block structure (v1) amortises scalar work over fat
-# [512 x 1024] mask tiles and is compare-bound; v5 keeps that structure and
-# attacks the per-element constant:
-#
-# * masks in bfloat16 (cle/own hold exactly 0.0/1.0 — exact in bf16, half
-#   the vector registers of v1's f32 masks);
-# * the anc/value accumulation moves from VPU multiply-adds to ONE bf16 MXU
-#   matmul per sub-slice: ``lhs (3+3C, 512) @ own (512, 1024) -> f32``, with
-#   lhs rows [ones; (loc>>7)<<7; loc&127; v_hi; v_mid; v_lo ...]:
-#   - the local row id splits as loc = a' + b with a' in {0,128,256,384} and
-#     b in [0,127], both exactly representable in bf16; the global ancestor
-#     index assembles as jbase*r_ones + r_a + r_b in f32 (ints < 2^24, exact);
-#   - each f32 value column splits exactly into three bf16 terms
-#     (v == hi + mid + lo, Dekker-style); every matmul output sums at most
-#     one nonzero product, so moved values are exact f32 copies of normal
-#     inputs (TPU flushes denormals — same caveat as v1's VPU path).
-# * the "consumed" sub-slice branch becomes a pure skip (owner-id semantics
-#   need no cumulative count, unlike v1's).
-
-_V5_MC = 1024  # input extents per chunk (1-D i32 VMEM alignment)
-_V5_MS = 512  # rows per mask sub-slice
-_V5_MW = 1024  # output slots per grid step
-
-
-def _split3(v):
-    """Exact 3-way bf16 split: ``v == hi + mid + lo`` as f32 sums (normal f32
-    inputs; each residual holds <= 8 further mantissa bits)."""
-    hi = v.astype(jnp.bfloat16)
-    r1 = v - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
-
-
-def _make_move_kernel_v5(n_cols: int, windowed: bool):
-    """Kernel over ``[win,] f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
-
-    ``win`` (SMEM int32[2], windowed calls only) = (output-window start,
-    initial chunk pointer).  SMEM carry: the chunk pointer.
-    """
-
-    def kernel(*refs):
-        off0 = 1 if windowed else 0
-        win_ref = refs[0] if windowed else None
-        f_ref = refs[off0]
-        v_refs = refs[off0 + 1 : off0 + 1 + n_cols]
-        anc_ref = refs[off0 + 1 + n_cols]
-        out_refs = refs[off0 + 2 + n_cols : off0 + 2 + 2 * n_cols]
-        carry_ref = refs[-1]
-
-        b = pl.program_id(0)
-
-        @pl.when(b == 0)
-        def _():
-            carry_ref[0] = win_ref[1] if windowed else 0  # chunk pointer
-
-        base = (win_ref[0] if windowed else 0) + b * _V5_MW
-        ptr0 = carry_ref[0]
-        num_chunks = f_ref.shape[0] // _V5_MC
-        block_end = base + _V5_MW - 1
-
-        pos = base + jax.lax.broadcasted_iota(jnp.int32, (_V5_MS, _V5_MW), 1)
-        pos_row = base + jax.lax.broadcasted_iota(jnp.int32, (_V5_MW,), 0)
-        loc = jax.lax.broadcasted_iota(jnp.int32, (1, _V5_MS), 1)
-        ones_row = jnp.ones((1, _V5_MS), jnp.bfloat16)
-        a_row = ((loc >> 7) << 7).astype(jnp.bfloat16)
-        b_row = (loc & 127).astype(jnp.bfloat16)
-
-        def cond(c):
-            return jnp.logical_not(c[-1])
-
-        def body(c):
-            ptr, prev_f, accs, _ = c
-            off = pl.multiple_of(ptr * _V5_MC, _V5_MC)
-            chunk = f_ref[pl.ds(off, _V5_MC)]
-            vals = [v_ref[pl.ds(off, _V5_MC)] for v_ref in v_refs]
-
-            def sub_update(s, carry):
-                prev_f, accs = carry
-                sub = jax.lax.slice(chunk, (s * _V5_MS,), ((s + 1) * _V5_MS,))
-                sub_last = sub[_V5_MS - 1]
-
-                def live(accs):
-                    subb = sub[:, None] + jnp.zeros((_V5_MS, _V5_MW), jnp.int32)
-                    cle = (subb <= pos).astype(jnp.bfloat16)
-                    prev_row = (prev_f <= pos_row).astype(jnp.bfloat16)
-                    prev_rows = jnp.concatenate(
-                        [
-                            prev_row[None],
-                            jax.lax.slice(cle, (0, 0), (_V5_MS - 1, _V5_MW)),
-                        ],
-                        axis=0,
-                    )
-                    own = prev_rows - cle  # bf16, exactly {0,1}
-                    rows = [ones_row, a_row, b_row]
-                    for v in vals:
-                        vs_ = jax.lax.slice(
-                            v, (s * _V5_MS,), ((s + 1) * _V5_MS,)
-                        )
-                        hi, mid, lo = _split3(vs_)
-                        rows += [hi[None], mid[None], lo[None]]
-                    lhs = jnp.concatenate(rows, axis=0)  # (3+3C, 512) bf16
-                    out = jax.lax.dot_general(
-                        lhs,
-                        own,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    jbase = (off + s * _V5_MS).astype(jnp.float32)
-                    new = [accs[0] + jbase * out[0] + out[1] + out[2]]
-                    for ci in range(n_cols):
-                        new.append(accs[1 + ci] + out[3 + 3 * ci]
-                                   + out[4 + 3 * ci] + out[5 + 3 * ci])
-                    return tuple(new)
-
-                def not_consumed(accs):
-                    return jax.lax.cond(
-                        prev_f <= block_end, live, lambda a: a, accs
-                    )
-
-                # Fully-consumed sub-slices (sub_last <= base) are pure skips:
-                # owner-id accumulation needs no count bookkeeping.
-                accs = jax.lax.cond(
-                    sub_last <= base, lambda a: a, not_consumed, accs
-                )
-                return sub_last, accs
-
-            for s in range(_V5_MC // _V5_MS):
-                prev_f, accs = sub_update(s, (prev_f, accs))
-
-            last = chunk[_V5_MC - 1]
-            stop = (last > block_end) | (ptr + 1 >= num_chunks)
-            ptr = jnp.where(stop, ptr, ptr + 1)
-            return ptr, prev_f, accs, stop
-
-        # prev_f seeds 0 per block: rows before the walk window were consumed
-        # by earlier blocks/windows, so ``prev_f <= k`` must hold — 0 gives it
-        # (same telescope argument as v1).
-        accs0 = tuple(
-            jnp.zeros((_V5_MW,), jnp.float32) for _ in range(1 + n_cols)
-        )
-        ptr, prev_f, accs, _ = jax.lax.while_loop(
-            cond, body, (ptr0, jnp.int32(0), accs0, jnp.asarray(False))
-        )
-
-        anc_ref[:] = accs[0].astype(jnp.int32)
-        for o, acc in zip(out_refs, accs[1:]):
-            o[:] = acc
-        carry_ref[0] = ptr
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
-def _resample_move_cols_v5(f, cols, n, start=None, n_out=None, interpret=False):
-    """v5 fused decode+move (see block comment above): same contract as
-    :func:`_resample_move_cols` — identical ancestors and bitwise-identical
-    moved values for identical (normal-f32) inputs."""
-    m = f.shape[0]
-    windowed = n_out is not None
-    if not windowed:
-        n_out = n
-    pad_in = (-m) % _V5_MC or _V5_MC
-    if m + pad_in >= (1 << 24):
-        raise ValueError("v5 kernel requires m + pad < 2^24 for exact f32 row ids")
-    n_pad = -(-n_out // _V5_MW) * _V5_MW
-    sentinel = jnp.int32(1 << 30)
-    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
-    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
-    zpad = jnp.zeros((pad_in,), jnp.float32)
-    vs = [jnp.concatenate([c.astype(jnp.float32), zpad]) for c in cols]
-
-    args = []
-    if windowed:
-        start = jnp.asarray(start, jnp.int32)
-        # First chunk holding a row with f > start (earlier rows own only
-        # slots < start, which this window never decodes).
-        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
-        args.append(jnp.stack([start, j0 // _V5_MC]))
-
-    n_cols = len(vs)
-    outs = pl.pallas_call(
-        _make_move_kernel_v5(n_cols, windowed),
-        grid=(n_pad // _V5_MW,),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] if windowed else [])
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
-        out_specs=[
-            pl.BlockSpec((_V5_MW,), lambda b: (b,), memory_space=pltpu.VMEM)
-        ]
-        * (1 + n_cols),
-        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
-        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-        interpret=interpret,
-    )(*args, f_p, *vs)
-    anc = outs[0][:n_out]
-    return anc, tuple(o[:n_out] for o in outs[1:])
-
-
-# ---------------------------------------------------------------------------
-# v7: full-chunk dense fused decode+move (decode_ancestors' lean style)
-# ---------------------------------------------------------------------------
-#
-# Round-4 measurement: the count-only ``decode_ancestors`` kernel runs the
-# SAME staircase walk at 1.37 ms per 1M firing vs fused v1's 3.30 — v1's
-# extra cost is its per-sub-slice ``lax.cond`` gating and bookkeeping, not
-# the value math.  v7 fuses the move into the decode kernel's structure:
-# whole 1024-row chunks, no sub-slices, no conditional gating, one f32
-# own-mask built from the compare + a one-row shift, and own-rowid
-# accumulation (like v4/v5) so no count/valid bookkeeping is needed either:
-#
-#   own[j,k] = cle[j-1,k] − cle[j,k] ∈ {0,1}   (cle = (f_j ≤ k))
-#   anc[k]   = Σ own·(rowbase + j)    — exact int sums in f32 (< 2^24)
-#   out_c[k] = Σ own·v_j              — exactly one nonzero ⇒ exact copy
-
-_V7_C = 1024  # rows per chunk
-_V7_W = 1024  # output slots per grid step
-
-
-def _make_move_kernel_v7(n_cols: int, windowed: bool):
-    """Kernel over ``[win,] f, v_0 … v_{n_cols-1}`` → ``anc, out_0 …``.
-
-    ``win`` (SMEM int32[2], windowed calls only) = (output-window start,
-    initial chunk pointer).  SMEM carry: the chunk pointer.
-    """
-
-    def kernel(*refs):
-        off0 = 1 if windowed else 0
-        win_ref = refs[0] if windowed else None
-        f_ref = refs[off0]
-        v_refs = refs[off0 + 1 : off0 + 1 + n_cols]
-        anc_ref = refs[off0 + 1 + n_cols]
-        out_refs = refs[off0 + 2 + n_cols : off0 + 2 + 2 * n_cols]
-        carry_ref = refs[-1]
-
-        b = pl.program_id(0)
-
-        @pl.when(b == 0)
-        def _():
-            carry_ref[0] = win_ref[1] if windowed else 0  # chunk pointer
-
-        base = (win_ref[0] if windowed else 0) + b * _V7_W
-        ptr0 = carry_ref[0]
-        num_chunks = f_ref.shape[0] // _V7_C
-        block_end = base + _V7_W - 1
-
-        pos = base + jax.lax.broadcasted_iota(jnp.int32, (_V7_C, _V7_W), 1)
-        pos_row = base + jax.lax.broadcasted_iota(jnp.int32, (_V7_W,), 0)
-
-        def cond(c):
-            return jnp.logical_not(c[-1])
-
-        def body(c):
-            ptr, prev_f, accs, _ = c
-            off = pl.multiple_of(ptr * _V7_C, _V7_C)
-            chunk = f_ref[pl.ds(off, _V7_C)]
-            chunk2 = chunk[:, None] + jnp.zeros((_V7_C, _V7_W), jnp.int32)
-            cle = (chunk2 <= pos).astype(jnp.float32)
-            prev_row = (prev_f <= pos_row).astype(jnp.float32)
-            prev_rows = jnp.concatenate(
-                [prev_row[None], jax.lax.slice(cle, (0, 0), (_V7_C - 1, _V7_W))],
-                axis=0,
-            )
-            own = prev_rows - cle  # {0,1}, exactly one 1 per owned column
-            rowid = (
-                off + jax.lax.broadcasted_iota(jnp.int32, (_V7_C, 1), 0)
-            ).astype(jnp.float32)
-            new = [accs[0] + jnp.sum(own * rowid, axis=0)]
-            for ci, v_ref in enumerate(v_refs):
-                v = v_ref[pl.ds(off, _V7_C)]
-                new.append(accs[1 + ci] + jnp.sum(own * v[:, None], axis=0))
-
-            last = chunk[_V7_C - 1]
-            stop = (last > block_end) | (ptr + 1 >= num_chunks)
-            ptr_n = jnp.where(stop, ptr, ptr + 1)
-            prev_n = jnp.where(stop, prev_f, last)
-            return ptr_n, prev_n, tuple(new), stop
-
-        accs0 = tuple(
-            jnp.zeros((_V7_W,), jnp.float32) for _ in range(1 + n_cols)
-        )
-        # prev_f seeds 0 per block: rows before the walk were consumed by
-        # earlier blocks/windows (same telescope argument as v1/v5).
-        ptr, prev_f, accs, _ = jax.lax.while_loop(
-            cond, body, (ptr0, jnp.int32(0), accs0, jnp.asarray(False))
-        )
-
-        anc_ref[:] = accs[0].astype(jnp.int32)
-        for o, acc in zip(out_refs, accs[1:]):
-            o[:] = acc
-        carry_ref[0] = ptr
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
-def _resample_move_cols_v7(f, cols, n, start=None, n_out=None, interpret=False):
-    """v7 fused decode+move (see block comment above): same contract as
-    :func:`_resample_move_cols` — identical ancestors and bitwise-identical
-    moved values for identical inputs."""
-    m = f.shape[0]
-    windowed = n_out is not None
-    if not windowed:
-        n_out = n
-    pad_in = (-m) % _V7_C or _V7_C
-    if m + pad_in >= (1 << 24):
-        raise ValueError("v7 kernel requires m + pad < 2^24 for exact f32 row ids")
-    n_pad = -(-n_out // _V7_W) * _V7_W
-    sentinel = jnp.int32(1 << 30)
-    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
-    f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
-    zpad = jnp.zeros((pad_in,), jnp.float32)
-    vs = [jnp.concatenate([c.astype(jnp.float32), zpad]) for c in cols]
-
-    args = []
-    if windowed:
-        start = jnp.asarray(start, jnp.int32)
-        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
-        args.append(jnp.stack([start, j0 // _V7_C]))
-
-    n_cols = len(vs)
-    outs = pl.pallas_call(
-        _make_move_kernel_v7(n_cols, windowed),
-        grid=(n_pad // _V7_W,),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] if windowed else [])
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_cols),
-        out_specs=[
-            pl.BlockSpec((_V7_W,), lambda b: (b,), memory_space=pltpu.VMEM)
-        ]
-        * (1 + n_cols),
-        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.int32)]
-        + [jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-        interpret=interpret,
-    )(*args, f_p, *vs)
-    anc = outs[0][:n_out]
-    return anc, tuple(o[:n_out] for o in outs[1:])
-
-
 # VMEM budget: one launch holds f plus a GROUP of state columns on-chip; cap
 # total per-launch input elements under the ~16 MB VMEM of a v5e core.  Wider
 # states (round-3 verdict #3: Lévy D=2 at 1M sat exactly at the old 3M cap;
@@ -1292,44 +752,57 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-#: Which fused decode+move implementation the engine uses.  All are exact and
-#: pinned against each other (tests/test_pallas_resample.py).  The ONLY
+#: Which fused decode+move implementation the engine uses.  The ONLY
 #: trustworthy comparison is an in-engine same-session A/B of the full sweep
 #: (bench.py under APS_MOVE_VERSION): micro-harnesses mislead in BOTH
 #: directions on this machine — loop-invariant operands get the kernel
 #: hoisted out of timing scans (reads ~25x fast), while varied operands can
 #: trigger per-grid-step operand re-copies for SOME kernels (reads ~1.5x
-#: slow, and differently per version).  Round-4 in-engine A/B at 1M (17
-#: firings per sweep, same hour, v1 ratchet-identical to round 3):
+#: slow, and differently per version).
+#:
+#: The round-4 design-space sweep built, pinned exact, and measured FIVE
+#: alternatives to v1 at 1M (in-engine, same hour); all lost and were
+#: removed in round 5 (this file ≈ halved; the code lives in git history at
+#: tag ``pre-kernel-prune-r5``, the findings in docs/benchmarks.md):
 #:   v1 dense staircase (VPU f32)    76.1 ms sweep  ← production default
 #:   v5 dense staircase + bf16 MXU   79.6 ms sweep (micro said 1.5x FASTER)
 #:   v4 per-tile merge + MXU         ~10 ms/firing — scalar walk overhead
 #:   v3 sublane-windowed             4.95 ms/firing (round 3)
-#:   v7 full-chunk lean (no gating)  6.2 ms/firing micro vs v1's 3.4 — the
-#:      count-only decode kernel's 1.37 ms does NOT extend to a fused move:
-#:      the f32 mask conversion + two multiply-reductions over the full
-#:      (1024,1024) mask cost more than v1's cond-gated half-chunk form.
+#:   v7 full-chunk lean (no gating)  6.2 ms/firing micro vs v1's 3.4
 #:   v0 decode-only + XLA gather     351 ms sweep (vs v1's 76): the 1M
 #:      single-column gather costs ~18 ms per firing in-engine — the fused
-#:      move's entire reason to exist, now pinned by a same-session A/B.
-#:      (Batched WIDE takes amortise the per-row overhead across columns,
-#:      which is why the wide-state hybrid still gathers its overflow.)
-#: v3/v4/v5/v7 are kept as measured testbeds documenting the design space:
-#: fine granularity loses to Mosaic's scalar control; the MXU rewrite saves
-#: no wall time because the i32 mask compare + mask-sized multiply-reduce —
-#: common to all variants — are the true bottleneck, not the accumulation
-#: formulation.
+#:      move's entire reason to exist.  v0 is KEPT (below) as the A/B that
+#:      pins that premise.
+#: Conclusion: every exact decode on the TPU VPU (no per-lane gather) is a
+#: dense compare, and the i32 mask compare + mask-sized multiply-reduce —
+#: common to all variants — are the bottleneck, not the accumulation
+#: formulation; v1 sits within ~1.3x of that formulation's floor.
 _MOVE_IMPLS = {
     1: _resample_move_cols,
-    3: _resample_move_cols_v3,
-    4: _resample_move_cols_v4,
-    5: _resample_move_cols_v5,
-    7: _resample_move_cols_v7,
 }
+#: Version 0 (decode-only + XLA gather) is handled specially in
+#: :func:`resample_move_f`; valid APS_MOVE_VERSION values are {0} ∪ keys.
+_VALID_MOVE_VERSIONS = frozenset({0}) | frozenset(_MOVE_IMPLS)
 # APS_MOVE_VERSION: measurement override for same-session A/B on shared
 # hardware (the chip+host show a few percent of hour-scale drift, so absolute
 # numbers across sessions don't settle 10%-class kernel questions).
 DEFAULT_MOVE_VERSION = int(os.environ.get("APS_MOVE_VERSION", "1"))
+if DEFAULT_MOVE_VERSION not in _VALID_MOVE_VERSIONS:
+    raise ValueError(
+        f"APS_MOVE_VERSION={DEFAULT_MOVE_VERSION} is not one of "
+        f"{sorted(_VALID_MOVE_VERSIONS)} (pruned versions live at git tag "
+        "pre-kernel-prune-r5)"
+    )
+
+
+def _resolve_version(version):
+    ver = DEFAULT_MOVE_VERSION if version is None else version
+    if ver not in _VALID_MOVE_VERSIONS:
+        raise ValueError(
+            f"unknown move-kernel version {ver}; valid: "
+            f"{sorted(_VALID_MOVE_VERSIONS)}"
+        )
+    return ver
 
 
 def _move_cols_grouped(impl, f, cols, n, start=None, n_out=None, interpret=False):
@@ -1394,7 +867,7 @@ def resample_move_f(
     ``version=0`` selects the decode-only kernel + whole-tree XLA gather
     (no in-kernel value move) — an A/B alternative to the fused kernels.
     """
-    ver = DEFAULT_MOVE_VERSION if version is None else version
+    ver = _resolve_version(version)
     m = f.shape[0]
     if ver == 0:
         anc = jnp.clip(decode_ancestors(f, n, interpret=interpret), 0, m - 1)
@@ -1443,7 +916,13 @@ def resample_move_window_fext(
     window row's extent, which by the predicate already exceeds every slot
     decoded here, so ownership inside the window is unchanged.
     """
-    impl = _MOVE_IMPLS[version or DEFAULT_MOVE_VERSION]
+    ver = _resolve_version(version)
+    if ver == 0:
+        raise ValueError(
+            "version 0 (decode-only + gather) has no windowed form; run the "
+            "gather A/B on the single-chip engine (bench.py APS_MOVE_VERSION=0)"
+        )
+    impl = _MOVE_IMPLS[ver]
     m = f_ext.shape[0]
     leaves, treedef, cols = _flatten_cols(state, m)
     anc, ys = _move_cols_grouped(
@@ -1468,7 +947,13 @@ def resample_move_window(
     beyond ``n`` (e.g. the reference slot the caller overwrites) decode to
     ``anc = m - 1`` with moved value 0.
     """
-    impl = _MOVE_IMPLS[version or DEFAULT_MOVE_VERSION]
+    ver = _resolve_version(version)
+    if ver == 0:
+        raise ValueError(
+            "version 0 (decode-only + gather) has no windowed form; run the "
+            "gather A/B on the single-chip engine (bench.py APS_MOVE_VERSION=0)"
+        )
+    impl = _MOVE_IMPLS[ver]
     m = weights.shape[0]
     cdf = jnp.cumsum(weights)
     f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)

@@ -29,6 +29,8 @@ __all__ = [
     "resample_stratified",
     "resample_multinomial",
     "resample_residual",
+    "stratified_extents",
+    "multinomial_spacings",
     "DEFAULT_RESAMPLER",
     "ResampleWithESSThreshold",
     "effective_sample_size",
@@ -85,25 +87,13 @@ def _systematic_searchsorted(u, weights, n):
     return _inverse_cdf(weights, us)
 
 
-def _systematic_scatter(u, weights, n):
-    """Search-free systematic resampling: run-length decode by scatter + cummax.
-
-    Because the systematic positions are equally spaced, the number of positions
-    below each CDF entry has the closed form ``f_j = ceil(n·cdf_j − u)`` — so the
-    ancestor vector is the run-length decoding of ``counts = diff(f)``, computed
-    as a (unique-index) scatter of each run's start followed by a cumulative max.
-    No binary search, no sort: on TPU this is ~10× faster inside a ``lax.scan``
-    than XLA's scan-based ``searchsorted`` lowering (measured ~15 ms vs ~139 ms
-    per 1M-particle step on v5e).
-
-    Accuracy note: ``n·cdf`` in float32 rounds at the ~0.06 ulp level for
-    n ~ 1e6, flipping ~0.2% of indices by ±1 slot relative to exact arithmetic —
-    statistically equivalent to perturbing ``u`` per-entry by ~1e-7; the same
-    order as the float32 ``cumsum`` rounding both formulations share.
-    """
-    m = weights.shape[0]
-    cdf = jnp.cumsum(weights)
-    f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+def _scatter_decode(f, n):
+    """Run-length decode of nondecreasing int32 extents ``f`` (length ``m``,
+    values in [0, n]) into the ancestor vector ``anc[k] = #{j : f_j ≤ k}`` by
+    scatter + cumulative max.  No binary search, no sort: on TPU this is ~10×
+    faster inside a ``lax.scan`` than XLA's scan-based ``searchsorted``
+    lowering (measured ~15 ms vs ~139 ms per 1M-particle step on v5e)."""
+    m = f.shape[0]
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), f[:-1]])
     counts = f - starts
     j = jnp.arange(m, dtype=jnp.int32)
@@ -111,6 +101,21 @@ def _systematic_scatter(u, weights, n):
     tgt = jnp.where(counts > 0, starts, n)
     s = jnp.zeros((n,), jnp.int32).at[tgt].max(j, mode="drop", unique_indices=True)
     return jax.lax.cummax(s)
+
+
+def _systematic_scatter(u, weights, n):
+    """Search-free systematic resampling via the closed-form extents
+    ``f_j = ceil(n·cdf_j − u)`` (the number of equally-spaced positions below
+    each CDF entry) + :func:`_scatter_decode`.
+
+    Accuracy note: ``n·cdf`` in float32 rounds at the ~0.06 ulp level for
+    n ~ 1e6, flipping ~0.2% of indices by ±1 slot relative to exact arithmetic —
+    statistically equivalent to perturbing ``u`` per-entry by ~1e-7; the same
+    order as the float32 ``cumsum`` rounding both formulations share.
+    """
+    cdf = jnp.cumsum(weights)
+    f = jnp.clip(jnp.ceil(n * cdf - u), 0, n).astype(jnp.int32)
+    return _scatter_decode(f, n)
 
 
 # Particle count above which the scatter formulation wins on TPU.
@@ -129,22 +134,75 @@ def resample_systematic(key: jax.Array, weights: jax.Array, n: int) -> jax.Array
     return _systematic_searchsorted(u, weights, n)
 
 
-def resample_stratified(key: jax.Array, weights: jax.Array, n: int) -> jax.Array:
-    """Stratified resampling: ``u_k ~ U[(k-1)/n, k/n)``.
+def stratified_extents(key: jax.Array, c: jax.Array, n: int) -> jax.Array:
+    """Stratified-resampling extents ``f_j = #{k : (k + u_k)/n ≤ cdf_j}``
+    from the scaled CDF ``c = n·cdf`` — closed form, ONE positional-cipher
+    evaluation per particle, no gather.
 
-    Reference: ``/root/reference/src/resampling.jl:98-131``.
+    Because ``u_k`` is a pure function of ``(key, k)``
+    (:func:`advancedps_tpu.rng.pos_uniform`), the count has the closed form
+    ``f_j = ⌊c_j⌋ + [u_{⌊c_j⌋} ≤ c_j − ⌊c_j⌋]``: every stratum fully below
+    ``c_j`` contributes 1, and the boundary stratum contributes its own
+    uniform's indicator — evaluated *positionally* at the data-dependent
+    stratum index, which on TPU is elementwise cipher arithmetic, not a
+    gather.  Nondecreasing by construction (same uniform at equal boundary
+    strata).  Same f32 ``n·cdf`` rounding class as the systematic extents.
     """
-    u = jax.random.uniform(key, (n,), dtype=weights.dtype)
+    from . import rng as rngmod
+
+    c = jnp.clip(c, 0.0, float(n))
+    kj = jnp.minimum(jnp.floor(c), float(n - 1))
+    ku = rngmod.pos_uniform(key, kj.astype(jnp.int32))
+    f = jnp.where(c >= float(n), float(n), kj + (ku <= c - kj))
+    return f.astype(jnp.int32)
+
+
+def resample_stratified(key: jax.Array, weights: jax.Array, n: int) -> jax.Array:
+    """Stratified resampling: position ``k`` draws ``(k + u_k)/n`` with its own
+    uniform ``u_k``.
+
+    Reference: ``/root/reference/src/resampling.jl:98-131``.  ``u_k`` is
+    *positional* (a pure function of ``(key, k)``), which makes the three
+    formulations of this scheme consume identical randomness: this
+    searchsorted form, the scatter form used on TPU at large ``n``, and the
+    engine's fused Pallas pipeline (:func:`stratified_extents` +
+    ``resample_move_f``) — they agree up to the documented ±1 f32 boundary
+    flips.
+    """
+    from . import rng as rngmod
+
+    if jax.default_backend() == "tpu" and n >= _TPU_SCATTER_MIN_N:
+        c = n * jnp.cumsum(weights)
+        return _scatter_decode(stratified_extents(key, c, n), n)
+    u = rngmod.pos_uniform(key, jnp.arange(n)).astype(weights.dtype)
     us = (u + jnp.arange(n, dtype=weights.dtype)) / n
     return _inverse_cdf(weights, us)
+
+
+def multinomial_spacings(key: jax.Array, n: int) -> jax.Array:
+    """``n + 1`` positional Exp(1) gaps for the sorted-uniform construction
+    (Devroye 1986, §V.3): the n sorted uniforms are ``S_k / S_n`` for the
+    inclusive prefix sums ``S`` of these gaps.  Used by the engine's fused
+    multinomial path; ``-log1p(-u)`` keeps the gap finite at ``u = 0``."""
+    from . import rng as rngmod
+
+    u = rngmod.pos_uniform(key, jnp.arange(n + 1))
+    return -jnp.log1p(-u)
 
 
 def resample_multinomial(key: jax.Array, weights: jax.Array, n: int) -> jax.Array:
     """Multinomial resampling: n iid categorical draws.
 
-    Reference: ``/root/reference/src/resampling.jl:31-35``.
+    Reference: ``/root/reference/src/resampling.jl:31-35``.  Uniforms are
+    positional (pure functions of ``(key, k)``).  Note the engine's fused
+    TPU path draws the *sorted* uniforms directly via
+    :func:`multinomial_spacings` — a different (equally distributed) random
+    variable, so its ancestor vector is the sorted version of a different
+    draw; offspring counts are Multinomial(n, w) in both.
     """
-    us = jax.random.uniform(key, (n,), dtype=weights.dtype)
+    from . import rng as rngmod
+
+    us = rngmod.pos_uniform(key, jnp.arange(n)).astype(weights.dtype)
     return _inverse_cdf(weights, us)
 
 

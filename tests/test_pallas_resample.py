@@ -76,17 +76,16 @@ def test_long_flat_run_spanning_blocks():
 
 # --- fused resample+move kernel ----------------------------------------------
 #
-# All kernel generations are pinned against the same searchsorted oracle:
-# v1 (cumulative-count staircase, production default), v3 (sublane-windowed),
-# v4 (per-tile merge + MXU), v5 (dense + bf16 MXU) and v7 (lean full-chunk)
-# must produce IDENTICAL ancestors and bitwise-identical moved values for
-# identical inputs; v0 (decode + XLA gather) is pinned separately below.
-# v3/v4/v5/v7 are measured testbeds, not production paths — see the version
-# table in ops/pallas_resample.py for the numbers that retired each.
+# v1 (cumulative-count staircase, the production default) is pinned against
+# the searchsorted oracle: identical ancestors and bitwise-identical moved
+# values for identical inputs; v0 (decode + XLA gather) is pinned separately
+# below.  The round-4 design-space testbeds (v3/v4/v5/v7) were pruned in
+# round 5 — findings in docs/benchmarks.md, code at git tag
+# pre-kernel-prune-r5.
 
 from advancedps_tpu.ops.pallas_resample import resample_move
 
-VERSIONS = [1, 3, 4, 5, 7]
+VERSIONS = [1]
 
 
 def _move_ref(u, w, n, m):
@@ -180,24 +179,28 @@ def test_resample_move_window_past_population_end(version):
     assert int(anc_w[-1]) == m - 1 and float(moved_w[-1]) == 0.0
 
 
-@pytest.mark.parametrize("version", [v for v in VERSIONS if v != 1])
-@pytest.mark.parametrize("m,n", [(4096, 4096), (3000, 2999), (8192, 8192)])
-def test_versions_match_v1_exactly(m, n, version):
-    # Direct cross-version agreement on skewed weights (long runs spanning
-    # blocks), multi-column state, bitwise equality of moved values.
-    rng = np.random.default_rng(m * 13 + n)
-    w = rng.gamma(0.05, size=m).astype(np.float32)  # heavy skew: long runs
-    w = jnp.asarray(w / w.sum())
-    state = {
-        "a": jnp.asarray(rng.standard_normal(m).astype(np.float32)),
-        "b": jnp.asarray(rng.standard_normal((m, 2)).astype(np.float32)),
-    }
-    u = float(rng.random())
-    anc1, mv1 = resample_move(u, w, state, n, interpret=True, version=1)
-    anc2, mv2 = resample_move(u, w, state, n, interpret=True, version=version)
-    np.testing.assert_array_equal(np.asarray(anc1), np.asarray(anc2))
-    np.testing.assert_array_equal(np.asarray(mv1["a"]), np.asarray(mv2["a"]))
-    np.testing.assert_array_equal(np.asarray(mv1["b"]), np.asarray(mv2["b"]))
+def test_unknown_version_raises():
+    # Round-4 advisor finding: unknown APS_MOVE_VERSION values used to
+    # KeyError deep in the sharded path, and an explicit version=0 was
+    # silently coerced to the default by an ``or``.
+    from advancedps_tpu.ops.pallas_resample import (
+        resample_move_f,
+        resample_move_window,
+    )
+
+    m = n = 1024
+    w = jnp.ones(m) / m
+    x = jnp.zeros(m)
+    f = jnp.arange(1, m + 1, dtype=jnp.int32)
+    with pytest.raises(ValueError, match="unknown move-kernel version"):
+        resample_move_f(f, x, n, interpret=True, version=42)
+    # version=0 reaches the decode+gather path (not coerced to the default)
+    a0, _ = resample_move_f(f, x, n, interpret=True, version=0)
+    np.testing.assert_array_equal(np.asarray(a0), np.arange(m))
+    with pytest.raises(ValueError, match="no windowed form"):
+        resample_move_window(
+            0.5, w, x, n, jnp.int32(0), 256, interpret=True, version=0
+        )
 
 
 # --- extents prefix-scan kernel ----------------------------------------------
