@@ -2,6 +2,7 @@ from .mesh import (
     CHAIN_AXIS,
     PARTICLE_AXIS,
     chain_particle_mesh,
+    init_distributed,
     particle_mesh,
     shard_along,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "CHAIN_AXIS",
     "PARTICLE_AXIS",
     "chain_particle_mesh",
+    "init_distributed",
     "particle_mesh",
     "shard_along",
     "sharded_sweep",

@@ -77,7 +77,11 @@ def step_key(key: jax.Array, tag: int, t) -> jax.Array:
 # draw identical randomness to the reference engine path.
 
 _ROT = (13, 15, 26, 6, 17, 29, 16, 24)  # Threefry-2x32 rotation schedule
-_PARITY = jnp.uint32(0x1BD11BDA)  # key-schedule parity constant (Skein/Threefry)
+# Key-schedule parity constant (Skein/Threefry).  A plain int, NOT a
+# jnp scalar: materialising a jax array at import time initialises the
+# XLA backend, which breaks jax.distributed.initialize() for any
+# process that imports this package first (parallel/mesh.py).
+_PARITY = 0x1BD11BDA
 
 
 def _rotl(x, r):
@@ -96,7 +100,7 @@ def threefry2x32(k0, k1, c0, c1, rounds: int = 20):
     x1 = jnp.asarray(c1, jnp.uint32)
     ks0 = jnp.asarray(k0, jnp.uint32)
     ks1 = jnp.asarray(k1, jnp.uint32)
-    ks2 = ks0 ^ ks1 ^ _PARITY
+    ks2 = ks0 ^ ks1 ^ jnp.uint32(_PARITY)
 
     x0 = x0 + ks0
     x1 = x1 + ks1
