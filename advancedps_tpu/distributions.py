@@ -264,6 +264,76 @@ class Bernoulli(Distribution):
         return jnp.broadcast_to(self.p, self.batch_shape)
 
 
+#: Fixed attempt count for the positional Marsaglia–Tsang gamma sampler.
+#: Acceptance per attempt is ≥ 0.951 at the worst case (α → 1; → 0.998 for
+#: large α), so the miss mass after K=4 independent attempts is
+#: ≤ 0.049⁴ ≈ 5.8e-6 per draw — exhausted elements return the
+#: deterministic mode-class value ``d = α_eff − 1/3``, a total-variation
+#: bias ≤ 5.8e-6, three orders below the 1e-3-class Monte-Carlo noise of
+#: even a 1M-particle estimator.  Each attempt is 2 counter-mode cipher
+#: passes (one normal + one uniform), all vector-wide.
+_GAMMA_MT_ATTEMPTS = 4
+_GAMMA_KEY_TAG = 0x6A33A  # stream separator (see _gamma_positional)
+
+
+def _mt_stream_key(key, family: int, draw: int):
+    """Derived key for a rejection-sampler stream: the double fold (tag +
+    family, then draw) guarantees the internal attempt-draw slots can never
+    collide with raw-key streams of other sites at the same step, nor
+    across families/draw indices (e.g. a Gamma site at draw 2 vs a Beta
+    site at draw 1)."""
+    return jax.random.fold_in(
+        jax.random.fold_in(key, _GAMMA_KEY_TAG + family), draw
+    )
+
+
+def _gamma_positional(key, gids, alpha, attempts=_GAMMA_MT_ATTEMPTS):
+    """Gamma(alpha, 1) draws, element ``i`` a pure function of
+    ``(key, gids[i])`` — bounded-attempt Marsaglia & Tsang (2000) squeeze on
+    positional counters (round-4 verdict next #7).
+
+    α < 1 uses the boost ``Gamma(α) = Gamma(α+1) · U^{1/α}`` (one extra
+    uniform pass).  All attempts are evaluated vector-wide (no data-dependent
+    control flow): at 1M elements some element always needs attempt k, so a
+    traced early-exit would never fire anyway.
+    """
+    from . import rng as rngmod
+
+    dt = jnp.result_type(float)
+    gids = jnp.asarray(gids)
+    alpha = jnp.broadcast_to(jnp.asarray(alpha, dt), gids.shape)
+    boost_needed = alpha < 1.0
+    a_eff = jnp.where(boost_needed, alpha + 1.0, alpha)
+
+    d = a_eff - (1.0 / 3.0)
+    c = 1.0 / jnp.sqrt(9.0 * d)
+
+    accepted = jnp.zeros(gids.shape, bool)
+    out = jnp.zeros(gids.shape, dt)
+    for k in range(attempts):
+        x = rngmod.pos_normal(key, gids, draw=2 * k)
+        u = rngmod.pos_uniform(key, gids, draw=2 * k + 1)
+        one_cx = 1.0 + c * x
+        v = one_cx * one_cx * one_cx
+        pos = v > 0
+        # log(u): u = 0 gives -inf => reject, safe.
+        ok = pos & (
+            jnp.log(u)
+            < 0.5 * x * x + d - d * v + d * jnp.log(jnp.where(pos, v, 1.0))
+        )
+        out = jnp.where(ok & ~accepted, d * v, out)
+        accepted = accepted | ok
+    # Exhaustion: the deterministic mode-class value d (bias bound above).
+    out = jnp.where(accepted, out, d)
+
+    ub = rngmod.pos_uniform(key, gids, draw=2 * attempts)
+    # U^{1/alpha} via exp(log(U)/alpha); U = 0 => boost 0, a valid tail draw.
+    boost = jnp.where(
+        boost_needed, jnp.exp(jnp.log(jnp.maximum(ub, 1e-38)) / alpha), 1.0
+    )
+    return out * boost
+
+
 @pytree_dataclass
 class Gamma(Distribution):
     """Gamma with shape ``concentration`` and **scale** (mean = concentration*scale)."""
@@ -281,6 +351,20 @@ class Gamma(Distribution):
             key, jnp.broadcast_to(self.concentration, shape), dtype=jnp.result_type(float)
         )
         return g * jnp.asarray(self.scale)
+
+    def sample_positional(self, key, gids):
+        """Counter-mode bounded-attempt Marsaglia–Tsang (see
+        :func:`_gamma_positional`).  The key is folded with a fixed tag so
+        the gamma's internal draw slots (0 … 2K) can never collide with the
+        raw-key streams other distributions consume at the same site."""
+        key = jax.random.fold_in(key, _GAMMA_KEY_TAG)
+        g = _gamma_positional(key, gids, self.concentration)
+        return g * jnp.asarray(self.scale, jnp.result_type(float))
+
+    def sample_rng(self, rng, draw: int = 0):
+        key = jax.random.fold_in(rng.key, _GAMMA_KEY_TAG + draw)
+        g = _gamma_positional(key, rng.gids, self.concentration)
+        return g * jnp.asarray(self.scale, jnp.result_type(float))
 
     def log_prob(self, x):
         a = jnp.asarray(self.concentration, dtype=jnp.result_type(float))
@@ -315,6 +399,22 @@ class Beta(Distribution):
             jnp.broadcast_to(self.b, shape),
             dtype=jnp.result_type(float),
         )
+
+    def sample_positional(self, key, gids):
+        """``B(a,b) = G_a / (G_a + G_b)`` with two independent positional
+        gammas (distinct folded keys)."""
+        ga = _gamma_positional(_mt_stream_key(key, 1, 0), gids, self.a)
+        gb = _gamma_positional(_mt_stream_key(key, 1, 1), gids, self.b)
+        return ga / (ga + gb)
+
+    def sample_rng(self, rng, draw: int = 0):
+        ga = _gamma_positional(
+            _mt_stream_key(rng.key, 1, 2 * draw), rng.gids, self.a
+        )
+        gb = _gamma_positional(
+            _mt_stream_key(rng.key, 1, 2 * draw + 1), rng.gids, self.b
+        )
+        return ga / (ga + gb)
 
     def log_prob(self, x):
         a = jnp.asarray(self.a, dtype=jnp.result_type(float))
@@ -561,6 +661,27 @@ class StudentT(Distribution):
     def sample(self, key, sample_shape=()):
         shape = self._full_shape(sample_shape)
         t = jax.random.t(key, jnp.broadcast_to(self.df, shape), dtype=jnp.result_type(float))
+        return jnp.asarray(self.loc) + jnp.asarray(self.scale) * t
+
+    def sample_positional(self, key, gids):
+        return self._t_positional(key, gids, 0)
+
+    def sample_rng(self, rng, draw: int = 0):
+        return self._t_positional(rng.key, rng.gids, draw)
+
+    def _t_positional(self, key, gids, draw):
+        """``t = z / sqrt(chi2_df / df)`` with a positional normal and a
+        positional chi-square (= 2·Gamma(df/2); bounded-attempt
+        Marsaglia–Tsang, see :func:`_gamma_positional`)."""
+        from . import rng as rngmod
+
+        dt = jnp.result_type(float)
+        kz = _mt_stream_key(key, 2, 2 * draw)
+        kg = _mt_stream_key(key, 2, 2 * draw + 1)
+        df = jnp.asarray(self.df, dt)
+        z = rngmod.pos_normal(kz, gids)
+        chi2 = 2.0 * _gamma_positional(kg, gids, 0.5 * df)
+        t = z / jnp.sqrt(jnp.maximum(chi2, 1e-38) / df)
         return jnp.asarray(self.loc) + jnp.asarray(self.scale) * t
 
     def log_prob(self, x):

@@ -239,3 +239,66 @@ def test_poisson_positional_cdf_saturation_terminates():
     out = np.asarray(Poisson(60.0).sample_positional(key, gids))
     assert out[0] < 200.0, out  # extreme-tail draw, not the runaway guard
     assert (out >= 0).all() and (out < 200.0).all()
+
+
+# --- positional Gamma/Beta/StudentT (round-5, verdict #7): bounded-attempt
+# Marsaglia–Tsang on positional counters --------------------------------------
+
+
+@pytest.mark.parametrize("alpha", [0.5, 1.0, 2.0, 7.5])
+def test_gamma_positional_ks_vs_scipy(alpha):
+    n = 200_000
+    s = np.asarray(Gamma(alpha, 1.0).sample_positional(KEY, jnp.arange(n)))
+    assert (s >= 0).all() and np.isfinite(s).all()
+    # subsample for KS power/runtime balance
+    p = st.kstest(s[:50_000], st.gamma(alpha).cdf).pvalue
+    assert p > 1e-3, (alpha, p)
+
+
+def test_gamma_positional_scale_and_batched_params():
+    n = 100_000
+    alphas = jnp.where(jnp.arange(n) % 2 == 0, 0.7, 4.0)
+    s = np.asarray(Gamma(alphas, 2.0).sample_positional(KEY, jnp.arange(n)))
+    m0, m1 = s[0::2].mean(), s[1::2].mean()
+    np.testing.assert_allclose(m0, 0.7 * 2.0, rtol=0.03)
+    np.testing.assert_allclose(m1, 4.0 * 2.0, rtol=0.03)
+
+
+@pytest.mark.parametrize("a,b", [(2.0, 5.0), (0.5, 0.5), (3.0, 1.0)])
+def test_beta_positional_ks_vs_scipy(a, b):
+    n = 100_000
+    s = np.asarray(Beta(a, b).sample_positional(KEY, jnp.arange(n)))
+    assert ((s >= 0) & (s <= 1)).all()
+    p = st.kstest(s[:50_000], st.beta(a, b).cdf).pvalue
+    assert p > 1e-3, (a, b, p)
+
+
+@pytest.mark.parametrize("df", [3.0, 10.0])
+def test_studentt_positional_ks_vs_scipy(df):
+    n = 100_000
+    s = np.asarray(StudentT(df, 1.0, 2.0).sample_positional(KEY, jnp.arange(n)))
+    p = st.kstest(s[:50_000], st.t(df, loc=1.0, scale=2.0).cdf).pvalue
+    assert p > 1e-3, (df, p)
+
+
+def test_gamma_beta_t_positional_layout_independent():
+    _layout_independent(Gamma(2.0, 3.0))
+    _layout_independent(Gamma(0.6, 1.0))  # boost branch
+    _layout_independent(Beta(2.0, 5.0))
+    _layout_independent(StudentT(4.0, 0.0, 1.0))
+
+
+def test_gamma_positional_streams_do_not_collide():
+    # Gamma/Beta internal attempt streams ride double-folded keys, so sites
+    # with different draw indices (and different families) stay independent.
+    from advancedps_tpu import rng as rngmod
+
+    gids = jnp.arange(4096)
+    key = rngmod.step_key(KEY, rngmod.PROPAGATE, 3)
+    rng = rngmod.StepRng(key=key, gids=gids)
+    g0 = np.asarray(Gamma(2.0, 1.0).sample_rng(rng, 0))
+    g1 = np.asarray(Gamma(2.0, 1.0).sample_rng(rng, 1))
+    b0 = np.asarray(Beta(2.0, 2.0).sample_rng(rng, 0))
+    assert not np.array_equal(g0, g1)
+    assert abs(np.corrcoef(g0, g1)[0, 1]) < 0.05
+    assert abs(np.corrcoef(g0, b0)[0, 1]) < 0.05
