@@ -123,14 +123,22 @@ class _SegmentCtx:
     last observe* (segment == T) are drawn during the final segment ``T-1``.
     ``mode='score'``: every live site replays its stored value; only the ``t``-th
     observe's log-density is evaluated.
+    ``mode='step'``: the FUSED form the sweep kernel uses (round-5, closing the
+    2-pass inefficiency identified in docs/design.md): one pass both draws
+    segment-``t`` sites and scores the ``t``-th observe.  The per-particle
+    ``is_ref`` scalar makes the reference slot *keep* its (pre-injected) stored
+    value instead of the fresh draw — a ``where``, so the whole population still
+    runs one branch; the fresh draw is still traced, keeping RNG consumption
+    identical to the two-pass form (bitwise-stable sweeps).
     """
 
-    def __init__(self, model, t: int, key, values, mode):
+    def __init__(self, model, t: int, key, values, mode, is_ref=None):
         self.model = model
         self.t = t  # static Python int — one traced branch per segment
         self.key = key
         self.values_out = values
         self.mode = mode
+        self.is_ref = is_ref
         self.logw = jnp.zeros((), dtype=values.dtype)
         self._site_idx = 0
         self._obs_idx = 0
@@ -160,6 +168,9 @@ class _SegmentCtx:
             return self._read(site)
         fresh = dist.sample(jax.random.fold_in(self.key, s))
         fresh = jnp.asarray(fresh, dtype=site.dtype).reshape(site.shape)
+        if self.mode == "step":
+            # Reference slot replays its injected value; others take the draw.
+            fresh = jnp.where(self.is_ref, self._read(site), fresh)
         self.values_out = self.values_out.at[
             site.offset : site.offset + site.size
         ].set(fresh.reshape((site.size,)).astype(self.values_out.dtype))
@@ -212,8 +223,8 @@ class GenericModel:
             raise ValueError("generic model must contain at least one observe")
 
     # -- interpretation ----------------------------------------------------
-    def _run_segment(self, t: int, key, values, mode: str):
-        ctx = _SegmentCtx(self, t, key, values, mode)
+    def _run_segment(self, t: int, key, values, mode: str, is_ref=None):
+        ctx = _SegmentCtx(self, t, key, values, mode, is_ref)
         try:
             self.fn(ctx)
         except jax.errors.TracerBoolConversionError as e:
@@ -243,6 +254,25 @@ class GenericModel:
             for _t in range(self.num_steps)
         ]
         return jax.lax.switch(t, branches, values)
+
+    def run_step(self, t, key, values, is_ref):
+        """One particle, FUSED: draw segment-``t`` sites AND score observe ``t``
+        in a single pass → ``(values_out, logw)``.
+
+        This is the sweep kernel's path: one ``lax.switch`` dispatch per step
+        instead of two (the [N, S] buffer streams once, and the host-side
+        trace executes the program T times per sweep instead of 2T — the
+        trace cost of the T-branch switch is O(T²) in program executions, so
+        the constant matters at the reference-example T=200).  ``is_ref``
+        (per-particle bool) makes the reference slot replay its pre-injected
+        value instead of the fresh draw."""
+        branches = [
+            lambda key, values, is_ref, _t=_t: (
+                lambda ctx: (ctx.values_out, ctx.logw)
+            )(self._run_segment(_t, key, values, "step", is_ref))
+            for _t in range(self.num_steps)
+        ]
+        return jax.lax.switch(t, branches, key, values, is_ref)
 
     # -- value decoding ----------------------------------------------------
     def decode(self, values: jax.Array) -> dict:
@@ -275,24 +305,39 @@ class GenericSSMKernel(SweepKernel):
         return self.model.num_steps
 
     def _advance(self, t, rng, values, ref_t, ref_mask):
+        # Fused single-pass form (see GenericModel.run_step): inject the ref
+        # row BEFORE the pass; its segment-t sites then replay the injected
+        # values via the per-particle is_ref select, and the observe scores
+        # the selected values — identical semantics and RNG consumption to
+        # the old sample→inject→score two-pass, at half the switch traffic.
+        values = inject_ref(ref_mask, ref_t, values)
         keys = rng.particle_keys()
-        new_vals = jax.vmap(lambda k, v: self.model.run_sample(t, k, v))(keys, values)
-        new_vals = inject_ref(ref_mask, ref_t, new_vals)
-        logw = jax.vmap(lambda v: self.model.run_score(t, v))(new_vals)
+        is_ref = (
+            ref_mask
+            if ref_mask is not None
+            else jnp.zeros(values.shape[0], bool)
+        )
+        new_vals, logw = jax.vmap(
+            lambda k, v, r: self.model.run_step(t, k, v, r)
+        )(keys, values, is_ref)
         return new_vals, logw
 
     def init(self, rng, ref0, ref_mask):
         values = jnp.zeros((rng.n, self.model.flat_size), dtype=jnp.result_type(float))
+        values = inject_ref(ref_mask, ref0, values)
         # t = 0 is static here: run segment 0 directly (no switch dispatch).
         keys = rng.particle_keys()
-        new_vals = jax.vmap(
-            lambda k, v: self.model._run_segment(0, k, v, "sample").values_out
-        )(keys, values)
-        new_vals = inject_ref(ref_mask, ref0, new_vals)
-        logw = jax.vmap(
-            lambda v: self.model._run_segment(0, None, v, "score").logw
-        )(new_vals)
-        return new_vals, logw
+        is_ref = (
+            ref_mask
+            if ref_mask is not None
+            else jnp.zeros(values.shape[0], bool)
+        )
+
+        def one(k, v, r):
+            ctx = self.model._run_segment(0, k, v, "step", r)
+            return ctx.values_out, ctx.logw
+
+        return jax.vmap(one)(keys, values, is_ref)
 
     def step(self, t, rng, state, ref_t, ref_mask):
         return self._advance(t, rng, state, ref_t, ref_mask)
