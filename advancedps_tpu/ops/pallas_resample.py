@@ -690,7 +690,13 @@ def _resample_move_cols(
 # up to two group launches, then the fused-decode + batched-gather hybrid —
 # always at least as fast as the pure-XLA fallback whenever f fits in VMEM.
 _MOVE_MAX_ELEMS = 3_000_000  # f32 elements per launch across f + column group
-_MOVE_MAX_COLS = 64
+# Width cap: with the fused-decode + ONE-batched-gather hybrid the overflow
+# columns ride a single [m, d-2] take whose per-row index overhead amortises
+# across the row, so width costs HBM traffic only — the same traffic the
+# pure-XLA fallback's gather pays on top of its searchsorted/scatter decode.
+# 256 admits the reference-example-scale generic programs (T=200 ⇒ 200-column
+# records), which at 64 fell off a silent cliff (round 5).
+_MOVE_MAX_COLS = 256
 
 
 def _move_group_size(m: int) -> int:
@@ -752,6 +758,127 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+# ---------------------------------------------------------------------------
+# v6: decode + windowed dynamic-gather lookup move (round 5)
+# ---------------------------------------------------------------------------
+#
+# The round-4 floor argument — "every exact decode on the TPU VPU is a dense
+# compare because there is no per-lane gather" — expired with this jax
+# release: Mosaic now lowers ``jnp.take_along_axis`` on (8, 128) operands to
+# ``tpu.dynamic_gather`` (sublane- and lane-axis; probed compiled+exact on
+# v5e, crashes above one vreg of sublanes).  That enables a gather-based
+# move:
+#
+# 1. ``decode_ancestors`` produces ``anc`` (the count kernel alone runs the
+#    staircase at 1.37 ms per 1M — 2.4× less than the fused v1 move).
+# 2. A lookup kernel moves the values: per 1024-slot output block, ``anc``
+#    is NONDECREASING, so its sources live in windows of the value array
+#    starting at ``anc[0]``.  For each (1024-aligned, 2048-row) window the
+#    block needs, the 2048-entry table lookup decomposes as 16 × (sublane
+#    broadcast of table row k + lane ``dynamic_gather`` by ``local & 127`` +
+#    select where ``local >> 7 == k``) on (8, 128) vregs — ~50 vreg-ops per
+#    window per column vs the dense staircase's ~5 000 per block.  Typical
+#    resampling (offspring O(1)) needs 1–2 windows per block; heavy skew
+#    degrades gracefully (the window while-loop walks the ancestor range).
+#
+# Exactness: every output slot matches exactly one (window, k) pair and the
+# value moves through gather+select only — a bitwise copy with NO float
+# arithmetic (stronger than v1's multiply-sum, which relies on 0/1-mask
+# algebra).  Slots at/past the drawn population have ``anc = m`` and pick
+# up the zero padding — same contract as v1.
+
+_LK_BLK = 1024  # output slots per grid step
+_LK_WIN = 2048  # value rows per lookup window (16 sublane rows)
+
+
+def _make_lookup_kernel(n_cols: int):
+    def kernel(anc_ref, *refs):
+        v_refs = refs[:n_cols]
+        out_refs = refs[n_cols : 2 * n_cols]
+
+        anc = anc_ref[:].reshape(_LK_BLK // 128, 128)
+        amin = anc_ref[0]  # nondecreasing: first/last are the extremes
+        amax = anc_ref[_LK_BLK - 1]
+        wstart0 = (amin // 1024) * 1024
+
+        def cond(c):
+            return c[0] <= amax
+
+        def body(c):
+            wstart, outs = c
+            local = anc - wstart  # (8, 128) i32
+            r = local >> 7  # source sublane row within the window
+            cidx = local & 127  # source lane (in [0,127] even when invalid)
+            new_outs = []
+            for o, v_ref in zip(outs, v_refs):
+                win = v_ref[pl.ds(pl.multiple_of(wstart, 1024), _LK_WIN)]
+                win2 = win.reshape(_LK_WIN // 128, 128)
+                acc = o
+                for k in range(_LK_WIN // 128):
+                    row = jax.lax.slice(win2, (k, 0), (k + 1, 128))
+                    b = jnp.broadcast_to(row, (_LK_BLK // 128, 128))
+                    g = jnp.take_along_axis(b, cidx, axis=1)
+                    # r == k implies 0 <= local < _LK_WIN: no extra mask.
+                    acc = jnp.where(r == k, g, acc)
+                new_outs.append(acc)
+            return wstart + _LK_WIN, tuple(new_outs)
+
+        zeros = tuple(
+            jnp.zeros((_LK_BLK // 128, 128), jnp.float32) for _ in range(n_cols)
+        )
+        _, outs = jax.lax.while_loop(cond, body, (wstart0, zeros))
+        for o_ref, o in zip(out_refs, outs):
+            o_ref[:] = o.reshape(_LK_BLK)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
+def _resample_move_cols_v6(f, cols, n, start=None, n_out=None, interpret=False):
+    """v6 decode + lookup move (see block comment): same contract as
+    :func:`_resample_move_cols` — identical ancestors and bitwise-identical
+    moved values for identical inputs.  Whole-population form only (the
+    sharded window exchange keeps v1)."""
+    if n_out is not None:
+        raise ValueError(
+            "move version 6 has no windowed form; sharded exchanges use v1"
+        )
+    m = f.shape[0]
+    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
+    anc = decode_ancestors(f, n, interpret=interpret)  # [n] counts in [0, m]
+    n_pad = -(-n // _LK_BLK) * _LK_BLK
+    if n_pad != n:
+        # Padded output slots replay the last count (nondecreasing, and their
+        # windows stay within the padded value array).
+        anc_p = jnp.concatenate(
+            [anc, jnp.full((n_pad - n,), 1, jnp.int32) * anc[n - 1]]
+        )
+    else:
+        anc_p = anc
+    # Pad values so every window load [wstart, wstart + _LK_WIN) is in
+    # bounds: anc <= m, so the last window starts < m rounded up + margin.
+    pad_in = ((-m) % 1024) + _LK_WIN
+    zpad = jnp.zeros((pad_in,), jnp.float32)
+    vs = [jnp.concatenate([c.astype(jnp.float32), zpad]) for c in cols]
+
+    n_cols = len(vs)
+    outs = pl.pallas_call(
+        _make_lookup_kernel(n_cols),
+        grid=(n_pad // _LK_BLK,),
+        in_specs=[
+            pl.BlockSpec((_LK_BLK,), lambda b: (b,), memory_space=pltpu.VMEM)
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_cols,
+        out_specs=[
+            pl.BlockSpec((_LK_BLK,), lambda b: (b,), memory_space=pltpu.VMEM)
+        ]
+        * n_cols,
+        out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
+        interpret=interpret,
+    )(anc_p, *vs)
+    return anc, tuple(o[:n] for o in outs)
+
+
 #: Which fused decode+move implementation the engine uses.  The ONLY
 #: trustworthy comparison is an in-engine same-session A/B of the full sweep
 #: (bench.py under APS_MOVE_VERSION): micro-harnesses mislead in BOTH
@@ -779,14 +906,21 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
 #: formulation; v1 sits within ~1.3x of that formulation's floor.
 _MOVE_IMPLS = {
     1: _resample_move_cols,
+    # Round-5: decode + dynamic-gather window lookup (see v6 block comment)
+    # — the production default after the same-session in-engine A/B below.
+    6: _resample_move_cols_v6,
 }
 #: Version 0 (decode-only + XLA gather) is handled specially in
 #: :func:`resample_move_f`; valid APS_MOVE_VERSION values are {0} ∪ keys.
 _VALID_MOVE_VERSIONS = frozenset({0}) | frozenset(_MOVE_IMPLS)
+#: Versions with a windowed (sharded-exchange) form.  v0/v6 decode the whole
+#: population, so the window wrappers fall back to the v1 staircase for the
+#: per-shard exchange (documented there).
+_WINDOWED_MOVE_VERSIONS = frozenset({1})
 # APS_MOVE_VERSION: measurement override for same-session A/B on shared
 # hardware (the chip+host show a few percent of hour-scale drift, so absolute
 # numbers across sessions don't settle 10%-class kernel questions).
-DEFAULT_MOVE_VERSION = int(os.environ.get("APS_MOVE_VERSION", "1"))
+DEFAULT_MOVE_VERSION = int(os.environ.get("APS_MOVE_VERSION", "6"))
 if DEFAULT_MOVE_VERSION not in _VALID_MOVE_VERSIONS:
     raise ValueError(
         f"APS_MOVE_VERSION={DEFAULT_MOVE_VERSION} is not one of "
@@ -917,11 +1051,12 @@ def resample_move_window_fext(
     decoded here, so ownership inside the window is unchanged.
     """
     ver = _resolve_version(version)
-    if ver == 0:
-        raise ValueError(
-            "version 0 (decode-only + gather) has no windowed form; run the "
-            "gather A/B on the single-chip engine (bench.py APS_MOVE_VERSION=0)"
-        )
+    if ver not in _WINDOWED_MOVE_VERSIONS:
+        # v0 (decode+gather) and v6 (whole-population lookup) have no
+        # windowed form; the sharded exchange uses the v1 staircase — so an
+        # APS_MOVE_VERSION A/B of the single-chip engine never breaks
+        # sharded runs.
+        ver = 1
     impl = _MOVE_IMPLS[ver]
     m = f_ext.shape[0]
     leaves, treedef, cols = _flatten_cols(state, m)
@@ -948,11 +1083,12 @@ def resample_move_window(
     ``anc = m - 1`` with moved value 0.
     """
     ver = _resolve_version(version)
-    if ver == 0:
-        raise ValueError(
-            "version 0 (decode-only + gather) has no windowed form; run the "
-            "gather A/B on the single-chip engine (bench.py APS_MOVE_VERSION=0)"
-        )
+    if ver not in _WINDOWED_MOVE_VERSIONS:
+        # v0 (decode+gather) and v6 (whole-population lookup) have no
+        # windowed form; the sharded exchange uses the v1 staircase — so an
+        # APS_MOVE_VERSION A/B of the single-chip engine never breaks
+        # sharded runs.
+        ver = 1
     impl = _MOVE_IMPLS[ver]
     m = weights.shape[0]
     cdf = jnp.cumsum(weights)

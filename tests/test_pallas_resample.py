@@ -85,7 +85,9 @@ def test_long_flat_run_spanning_blocks():
 
 from advancedps_tpu.ops.pallas_resample import resample_move
 
-VERSIONS = [1]
+VERSIONS = [1, 6]  # 6 = decode + dynamic-gather lookup (round-5 default)
+# versions with a windowed (sharded-exchange) form
+WINDOW_VERSIONS = [1]
 
 
 def _move_ref(u, w, n, m):
@@ -135,7 +137,7 @@ def test_resample_move_values_exact_copies(version):
 from advancedps_tpu.ops.pallas_resample import resample_move_window
 
 
-@pytest.mark.parametrize("version", VERSIONS)
+@pytest.mark.parametrize("version", WINDOW_VERSIONS)
 @pytest.mark.parametrize("m,n,n_shards", [(8192, 8192, 8), (5000, 4096, 4), (1000, 4096, 4)])
 def test_resample_move_window_matches_full_slices(m, n, n_shards, version):
     # The sharded exchange decodes each chip's output window against the
@@ -159,7 +161,7 @@ def test_resample_move_window_matches_full_slices(m, n, n_shards, version):
         )
 
 
-@pytest.mark.parametrize("version", VERSIONS)
+@pytest.mark.parametrize("version", WINDOW_VERSIONS)
 def test_resample_move_window_past_population_end(version):
     # Slots at/after the drawn population (the reference slot the sharded
     # caller overwrites) decode to the clipped last parent with moved value 0.
@@ -197,10 +199,17 @@ def test_unknown_version_raises():
     # version=0 reaches the decode+gather path (not coerced to the default)
     a0, _ = resample_move_f(f, x, n, interpret=True, version=0)
     np.testing.assert_array_equal(np.asarray(a0), np.arange(m))
-    with pytest.raises(ValueError, match="no windowed form"):
-        resample_move_window(
-            0.5, w, x, n, jnp.int32(0), 256, interpret=True, version=0
-        )
+    # versions without a windowed form (0, 6) fall back to the v1 staircase
+    # in the window wrappers (so APS_MOVE_VERSION A/Bs never break sharded
+    # runs); the result must equal v1's.
+    aw0, mw0 = resample_move_window(
+        0.5, w, x, n, jnp.int32(0), 256, interpret=True, version=0
+    )
+    aw1, mw1 = resample_move_window(
+        0.5, w, x, n, jnp.int32(0), 256, interpret=True, version=1
+    )
+    np.testing.assert_array_equal(np.asarray(aw0), np.asarray(aw1))
+    np.testing.assert_array_equal(np.asarray(mw0), np.asarray(mw1))
 
 
 # --- extents prefix-scan kernel ----------------------------------------------
@@ -337,8 +346,10 @@ def test_move_eligible_boundary(monkeypatch):
     assert prmod.move_eligible(st(1), m)
     assert prmod.move_eligible(st(2), m)      # Lévy at 1M: in (was AT the cap)
     assert prmod.move_eligible(st(16), m)     # 16-site generic at 1M: hybrid
-    assert prmod.move_eligible(st(64), m)     # width cap is the only d bound
-    assert not prmod.move_eligible(st(65), m)
+    assert prmod.move_eligible(st(64), m)
+    assert prmod.move_eligible(st(200), m)    # T=200 generic record (round 5)
+    assert prmod.move_eligible(st(256), m)    # width cap is the only d bound
+    assert not prmod.move_eligible(st(257), m)
     assert not prmod.move_eligible(st(2, jnp.int32), m)    # non-f32: out
     assert not prmod.move_eligible(st(2, jnp.float64), m)  # f64: out
     # f alone must fit: enormous m is out even at D=1
