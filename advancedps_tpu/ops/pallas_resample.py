@@ -759,6 +759,122 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
 
 
 # ---------------------------------------------------------------------------
+# Binary-search decode (round 5): anc[k] = searchsorted(f, k, 'right') via
+# in-kernel dynamic-gather lookups
+# ---------------------------------------------------------------------------
+#
+# With the v6 lookup move (below), the count-only staircase decode became
+# the dominant per-firing term (1.37 ms per 1M).  The same vreg-local
+# ``tpu.dynamic_gather`` lets the count be computed by BINARY SEARCH instead
+# of dense compares: per 1024-slot block, walk 2048-row windows of ``f``
+# starting at the carried consumed-row count; within each window an 11-step
+# bisection (each step one 2048-entry table lookup = 16 × broadcast +
+# lane-gather + select) yields ``#{r in window : f_r ≤ k}`` for all 1024
+# slots at once — ~0.8k vreg-ops per window vs the dense walk's ~4k per
+# chunk.  Counts across windows add; a window whose first row already
+# exceeds the block's last slot contributes nothing and stops the walk —
+# the same staircase economics (each row window consumed once overall).
+
+#: v6's decoder: the binary-search form (default) vs the dense staircase —
+#: APS_DECODE=dense for in-engine A/Bs.
+_V6_DECODE_BS = os.environ.get("APS_DECODE", "bs") == "bs"
+
+_BS_BLK = 1024  # output slots per grid step
+_BS_WIN = 2048  # f rows per search window
+_BS_STEPS = 12  # ceil(log2(_BS_WIN + 1)): counts range over 0..2048 inclusive
+
+
+def _win_lookup_i32(win2, idx):
+    """``out[i,j] = win2[idx[i,j] >> 7, idx[i,j] & 127]`` for a
+    (16, 128) i32 table and (8, 128) indices in [0, _BS_WIN)."""
+    r = idx >> 7
+    c = idx & 127
+    # Indices at/past the window (a converged-at-2048 search keeps probing
+    # mid == _BS_WIN) must read as +inf so the bisection invariant holds.
+    out = jnp.full(idx.shape, jnp.int32(1 << 30))
+    for k in range(_BS_WIN // 128):
+        row = jax.lax.slice(win2, (k, 0), (k + 1, 128))
+        b = jnp.broadcast_to(row, idx.shape)
+        g = jnp.take_along_axis(b, c, axis=1)
+        out = jnp.where(r == k, g, out)
+    return out
+
+
+def _decode_bs_kernel(f_ref, out_ref, carry_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        carry_ref[0] = 0  # rbase: #rows with f ≤ previous block's last slot
+
+    base = b * _BS_BLK
+    block_end = base + _BS_BLK - 1
+    rbase = carry_ref[0]
+    wstart0 = (rbase // 1024) * 1024  # aligned; slack rows have f ≤ base-1
+    pos = base + jax.lax.broadcasted_iota(jnp.int32, (_BS_BLK // 128, 128), 1) \
+        + 128 * jax.lax.broadcasted_iota(jnp.int32, (_BS_BLK // 128, 128), 0)
+
+    def cond(c):
+        return jnp.logical_not(c[-1])
+
+    def body(c):
+        wstart, acc, _ = c
+        win = f_ref[pl.ds(pl.multiple_of(wstart, 1024), _BS_WIN)]
+        win2 = win.reshape(_BS_WIN // 128, 128)
+        # 11-step bisection: lo converges to #{r in window: f_r ≤ k}.
+        lo = jnp.zeros(pos.shape, jnp.int32)
+        hi = jnp.full(pos.shape, _BS_WIN, jnp.int32)
+        for _ in range(_BS_STEPS):
+            mid = (lo + hi) >> 1
+            fm = _win_lookup_i32(win2, mid)
+            gt = fm > pos
+            hi = jnp.where(gt, mid, hi)
+            lo = jnp.where(gt, lo, mid + 1)
+        acc = acc + lo
+        last = win[_BS_WIN - 1]
+        # Stop once the NEXT window cannot contribute (this window's rows
+        # already reach past the block — later rows are even larger) or
+        # there are no further rows to walk.
+        num_rows = f_ref.shape[0]
+        stop = (last > block_end) | (wstart + 2 * _BS_WIN > num_rows)
+        return wstart + _BS_WIN, acc, stop
+
+    acc0 = jnp.full(pos.shape, wstart0, jnp.int32)
+    _, acc, _ = jax.lax.while_loop(
+        cond, body, (wstart0, acc0, jnp.asarray(False))
+    )
+    out_ref[:] = acc.reshape(_BS_BLK)
+    carry_ref[0] = acc[_BS_BLK // 128 - 1, 127]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def decode_ancestors_bs(f: jax.Array, n: int, interpret: bool = False):
+    """``anc[k] = #{j: f_j ≤ k}`` for nondecreasing int32 ``f`` — the
+    binary-search formulation (see block comment).  Same contract as
+    :func:`decode_ancestors`."""
+    n_pad = -(-n // _BS_BLK) * _BS_BLK
+    # Pad with a +inf-class sentinel so window loads stay in bounds and the
+    # walk stops; one full extra window guarantees the last real window's
+    # load is valid.
+    pad = ((-f.shape[0]) % 1024) + 2 * _BS_WIN
+    f_p = jnp.concatenate(
+        [f.astype(jnp.int32), jnp.full((pad,), jnp.int32(1 << 30))]
+    )
+    anc = pl.pallas_call(
+        _decode_bs_kernel,
+        grid=(n_pad // _BS_BLK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (_BS_BLK,), lambda b: (b,), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(f_p)
+    return anc[:n]
+
+
+# ---------------------------------------------------------------------------
 # v6: decode + windowed dynamic-gather lookup move (round 5)
 # ---------------------------------------------------------------------------
 #
@@ -845,7 +961,8 @@ def _resample_move_cols_v6(f, cols, n, start=None, n_out=None, interpret=False):
         )
     m = f.shape[0]
     f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
-    anc = decode_ancestors(f, n, interpret=interpret)  # [n] counts in [0, m]
+    decoder = decode_ancestors_bs if _V6_DECODE_BS else decode_ancestors
+    anc = decoder(f, n, interpret=interpret)  # [n] counts in [0, m]
     n_pad = -(-n // _LK_BLK) * _LK_BLK
     if n_pad != n:
         # Padded output slots replay the last count (nondecreasing, and their
