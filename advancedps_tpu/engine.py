@@ -349,7 +349,7 @@ def sweep(
                     thr = _pallas_move.scaled_prefix_from_logw(
                         logw, m, S[n_resample] / s1
                     )
-                    f = _pallas_move.count_le_sorted(S[:n_resample], thr)
+                    f = _pallas_move.count_le_sorted_auto(S[:n_resample], thr)
                 anc_drawn, moved = _pallas_move.resample_move_f(
                     f, state, n_resample
                 )

@@ -411,6 +411,104 @@ def _count_le_kernel(s_ref, t_ref, out_ref, icarry_ref, fcarry_ref):
     fcarry_ref[0] = t_last
 
 
+def _win_lookup_f32(win2, idx, nrows):
+    """``out[i,j] = win2[idx >> 7, idx & 127]`` for an (nrows, 128) f32 table
+    and (8, 128) indices; out-of-range indices read +inf (bisection
+    invariant)."""
+    r = idx >> 7
+    c = idx & 127
+    out = jnp.full(idx.shape, jnp.float32(jnp.inf))
+    for k in range(nrows):
+        row = jax.lax.slice(win2, (k, 0), (k + 1, 128))
+        b = jnp.broadcast_to(row, idx.shape)
+        g = jnp.take_along_axis(b, c, axis=1)
+        out = jnp.where(r == k, g, out)
+    return out
+
+
+def _count_le_bs_kernel(s_ref, t_ref, out_ref, carry_ref):
+    """Binary-search form of the sorted merge-count (same structure as
+    :func:`_decode_bs_kernel` with float values/thresholds)."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        carry_ref[0] = 0  # #values ≤ the previous block's last threshold
+
+    tb = t_ref[:].reshape(_BS_BLK // 128, 128)
+    t_last = t_ref[_BS_BLK - 1]
+    rbase = carry_ref[0]
+    wstart0 = (rbase // 1024) * 1024
+
+    def cond(c):
+        return jnp.logical_not(c[-1])
+
+    def body(c):
+        wstart, acc, _ = c
+        win = s_ref[pl.ds(pl.multiple_of(wstart, 1024), _BS_WIN)]
+        win2 = win.reshape(_BS_WIN // 128, 128)
+        lo = jnp.zeros(tb.shape, jnp.int32)
+        hi = jnp.full(tb.shape, _BS_WIN, jnp.int32)
+        for _ in range(_BS_STEPS):
+            mid = (lo + hi) >> 1
+            sm = _win_lookup_f32(win2, mid, _BS_WIN // 128)
+            gt = sm > tb
+            hi = jnp.where(gt, mid, hi)
+            lo = jnp.where(gt, lo, mid + 1)
+        acc = acc + lo
+        last = win[_BS_WIN - 1]
+        num_rows = s_ref.shape[0]
+        stop = (last > t_last) | (wstart + 2 * _BS_WIN > num_rows)
+        return wstart + _BS_WIN, acc, stop
+
+    acc0 = jnp.full(tb.shape, wstart0, jnp.int32)
+    _, acc, _ = jax.lax.while_loop(
+        cond, body, (wstart0, acc0, jnp.asarray(False))
+    )
+    out_ref[:] = acc.reshape(_BS_BLK)
+    carry_ref[0] = acc[_BS_BLK // 128 - 1, 127]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def count_le_sorted_bs(s: jax.Array, t: jax.Array, interpret: bool = False):
+    """Binary-search form of :func:`count_le_sorted` (same contract)."""
+    nt = t.shape[0]
+    nt_pad = -(-nt // _BS_BLK) * _BS_BLK
+    if nt_pad != nt:
+        t_p = jnp.concatenate(
+            [t.astype(jnp.float32),
+             jnp.full((nt_pad - nt,), 1.0, jnp.float32) * t[nt - 1]]
+        )
+    else:
+        t_p = t.astype(jnp.float32)
+    pad = ((-s.shape[0]) % 1024) + 2 * _BS_WIN
+    s_p = jnp.concatenate(
+        [s.astype(jnp.float32), jnp.full((pad,), jnp.inf, jnp.float32)]
+    )
+    out = pl.pallas_call(
+        _count_le_bs_kernel,
+        grid=(nt_pad // _BS_BLK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BS_BLK,), lambda b: (b,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_BS_BLK,), lambda b: (b,), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nt_pad,), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(s_p, t_p)
+    return out[:nt]
+
+
+def count_le_sorted_auto(s: jax.Array, t: jax.Array, interpret: bool = False):
+    """Engine dispatcher: the binary-search merge-count unless
+    APS_DECODE=dense (the same A/B handle as the v6 decoder)."""
+    fn = count_le_sorted_bs if _V6_DECODE_BS else count_le_sorted
+    return fn(s, t, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def count_le_sorted(s: jax.Array, t: jax.Array, interpret: bool = False):
     """``out[j] = #{k : s_k ≤ t_j}`` for SORTED (nondecreasing) float32 ``s``

@@ -72,6 +72,44 @@ def test_count_le_sorted_matches_searchsorted(ns, nt):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("ns,nt", [(1000, 1000), (4096, 3000), (100, 5000), (20000, 20000)])
+def test_count_le_sorted_bs_matches_dense(ns, nt):
+    # Binary-search merge-count (round 5) must equal the dense form exactly.
+    from advancedps_tpu.ops.pallas_resample import count_le_sorted_bs
+
+    rng = np.random.default_rng(ns + 7 * nt)
+    s = np.sort(rng.exponential(size=ns).cumsum().astype(np.float32))
+    t = np.sort((rng.random(nt) * s[-1] * 1.05).astype(np.float32))
+    want = np.searchsorted(s, t, side="right")
+    got = np.asarray(
+        count_le_sorted_bs(jnp.asarray(s), jnp.asarray(t), interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decode_ancestors_bs_matches_dense():
+    # Binary-search decode (round 5, the v6 default) vs the dense staircase.
+    from advancedps_tpu.ops.pallas_resample import (
+        decode_ancestors,
+        decode_ancestors_bs,
+    )
+
+    rng = np.random.default_rng(3)
+    for m, n, skew in [(5000, 4097, 0.3), (20000, 20000, 0.3), (3000, 8192, None)]:
+        if skew is None:
+            w = np.full(m, 1e-12)
+            w[rng.integers(m, size=4)] = 1.0
+        else:
+            w = rng.gamma(skew, size=m)
+        w = (w / w.sum()).astype(np.float32)
+        f = jnp.clip(
+            jnp.ceil(n * jnp.cumsum(jnp.asarray(w)) - 0.3), 0, n
+        ).astype(jnp.int32)
+        a = np.asarray(decode_ancestors(f, n, interpret=True))
+        b = np.asarray(decode_ancestors_bs(f, n, interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_count_le_sorted_extremes():
     s = jnp.asarray(np.arange(1, 2049, dtype=np.float32))
     # thresholds below every value, between, above every value
