@@ -898,78 +898,107 @@ def _win_lookup_i32(win2, idx):
     return out
 
 
-def _decode_bs_kernel(f_ref, out_ref, carry_ref):
-    b = pl.program_id(0)
+def _make_decode_bs_kernel(windowed: bool):
+    def kernel(*refs):
+        if windowed:
+            win_ref, f_ref, out_ref, carry_ref = refs
+        else:
+            f_ref, out_ref, carry_ref = refs
+            win_ref = None
+        b = pl.program_id(0)
 
-    @pl.when(b == 0)
-    def _():
-        carry_ref[0] = 0  # rbase: #rows with f ≤ previous block's last slot
+        @pl.when(b == 0)
+        def _():
+            # rbase: #rows with f ≤ previous block's last slot.  Windowed
+            # calls seed it with the aligned row count below the first slot
+            # (rows there have f ≤ start, so they count for every slot).
+            carry_ref[0] = win_ref[1] if windowed else 0
 
-    base = b * _BS_BLK
-    block_end = base + _BS_BLK - 1
-    rbase = carry_ref[0]
-    wstart0 = (rbase // 1024) * 1024  # aligned; slack rows have f ≤ base-1
-    pos = base + jax.lax.broadcasted_iota(jnp.int32, (_BS_BLK // 128, 128), 1) \
-        + 128 * jax.lax.broadcasted_iota(jnp.int32, (_BS_BLK // 128, 128), 0)
+        base = (win_ref[0] if windowed else 0) + b * _BS_BLK
+        block_end = base + _BS_BLK - 1
+        rbase = carry_ref[0]
+        wstart0 = (rbase // 1024) * 1024  # aligned; slack rows have f ≤ base-1
+        pos = base + jax.lax.broadcasted_iota(
+            jnp.int32, (_BS_BLK // 128, 128), 1
+        ) + 128 * jax.lax.broadcasted_iota(
+            jnp.int32, (_BS_BLK // 128, 128), 0
+        )
 
-    def cond(c):
-        return jnp.logical_not(c[-1])
+        def cond(c):
+            return jnp.logical_not(c[-1])
 
-    def body(c):
-        wstart, acc, _ = c
-        win = f_ref[pl.ds(pl.multiple_of(wstart, 1024), _BS_WIN)]
-        win2 = win.reshape(_BS_WIN // 128, 128)
-        # 11-step bisection: lo converges to #{r in window: f_r ≤ k}.
-        lo = jnp.zeros(pos.shape, jnp.int32)
-        hi = jnp.full(pos.shape, _BS_WIN, jnp.int32)
-        for _ in range(_BS_STEPS):
-            mid = (lo + hi) >> 1
-            fm = _win_lookup_i32(win2, mid)
-            gt = fm > pos
-            hi = jnp.where(gt, mid, hi)
-            lo = jnp.where(gt, lo, mid + 1)
-        acc = acc + lo
-        last = win[_BS_WIN - 1]
-        # Stop once the NEXT window cannot contribute (this window's rows
-        # already reach past the block — later rows are even larger) or
-        # there are no further rows to walk.
-        num_rows = f_ref.shape[0]
-        stop = (last > block_end) | (wstart + 2 * _BS_WIN > num_rows)
-        return wstart + _BS_WIN, acc, stop
+        def body(c):
+            wstart, acc, _ = c
+            win = f_ref[pl.ds(pl.multiple_of(wstart, 1024), _BS_WIN)]
+            win2 = win.reshape(_BS_WIN // 128, 128)
+            # 12-step bisection: lo converges to #{r in window: f_r ≤ k}.
+            lo = jnp.zeros(pos.shape, jnp.int32)
+            hi = jnp.full(pos.shape, _BS_WIN, jnp.int32)
+            for _ in range(_BS_STEPS):
+                mid = (lo + hi) >> 1
+                fm = _win_lookup_i32(win2, mid)
+                gt = fm > pos
+                hi = jnp.where(gt, mid, hi)
+                lo = jnp.where(gt, lo, mid + 1)
+            acc = acc + lo
+            last = win[_BS_WIN - 1]
+            # Stop once the NEXT window cannot contribute (this window's
+            # rows already reach past the block — later rows are even
+            # larger) or there are no further rows to walk.
+            num_rows = f_ref.shape[0]
+            stop = (last > block_end) | (wstart + 2 * _BS_WIN > num_rows)
+            return wstart + _BS_WIN, acc, stop
 
-    acc0 = jnp.full(pos.shape, wstart0, jnp.int32)
-    _, acc, _ = jax.lax.while_loop(
-        cond, body, (wstart0, acc0, jnp.asarray(False))
-    )
-    out_ref[:] = acc.reshape(_BS_BLK)
-    carry_ref[0] = acc[_BS_BLK // 128 - 1, 127]
+        acc0 = jnp.full(pos.shape, wstart0, jnp.int32)
+        _, acc, _ = jax.lax.while_loop(
+            cond, body, (wstart0, acc0, jnp.asarray(False))
+        )
+        out_ref[:] = acc.reshape(_BS_BLK)
+        carry_ref[0] = acc[_BS_BLK // 128 - 1, 127]
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def decode_ancestors_bs(f: jax.Array, n: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
+def decode_ancestors_bs(
+    f: jax.Array, n: int, start=None, n_out=None, interpret: bool = False
+):
     """``anc[k] = #{j: f_j ≤ k}`` for nondecreasing int32 ``f`` — the
     binary-search formulation (see block comment).  Same contract as
-    :func:`decode_ancestors`."""
-    n_pad = -(-n // _BS_BLK) * _BS_BLK
+    :func:`decode_ancestors`.  With ``start``/``n_out`` given, decodes only
+    output slots ``[start, start + n_out)`` (the sharded per-chip window),
+    seeding the walk at the first row owning the window."""
+    windowed = n_out is not None
+    if not windowed:
+        n_out = n
+    n_pad = -(-n_out // _BS_BLK) * _BS_BLK
     # Pad with a +inf-class sentinel so window loads stay in bounds and the
-    # walk stops; one full extra window guarantees the last real window's
-    # load is valid.
+    # walk stops; two extra windows guarantee the last real window's load
+    # and the lookahead are valid.
     pad = ((-f.shape[0]) % 1024) + 2 * _BS_WIN
     f_p = jnp.concatenate(
         [f.astype(jnp.int32), jnp.full((pad,), jnp.int32(1 << 30))]
     )
+    args = []
+    if windowed:
+        start = jnp.asarray(start, jnp.int32)
+        # Rows below the aligned seed all have f ≤ start ≤ every decoded
+        # slot, so they enter the count as the carried base.
+        j0 = jnp.searchsorted(f, start, side="right").astype(jnp.int32)
+        args.append(jnp.stack([start, (j0 // 1024) * 1024]))
     anc = pl.pallas_call(
-        _decode_bs_kernel,
+        _make_decode_bs_kernel(windowed),
         grid=(n_pad // _BS_BLK,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] if windowed else [])
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
             (_BS_BLK,), lambda b: (b,), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
-    )(f_p)
-    return anc[:n]
+    )(*args, f_p)
+    return anc[:n_out]
 
 
 # ---------------------------------------------------------------------------
@@ -1051,22 +1080,27 @@ def _make_lookup_kernel(n_cols: int):
 def _resample_move_cols_v6(f, cols, n, start=None, n_out=None, interpret=False):
     """v6 decode + lookup move (see block comment): same contract as
     :func:`_resample_move_cols` — identical ancestors and bitwise-identical
-    moved values for identical inputs.  Whole-population form only (the
-    sharded window exchange keeps v1)."""
-    if n_out is not None:
-        raise ValueError(
-            "move version 6 has no windowed form; sharded exchanges use v1"
-        )
+    moved values for identical inputs, including the windowed
+    (sharded-exchange) form via :func:`decode_ancestors_bs`'s window
+    support."""
     m = f.shape[0]
+    windowed = n_out is not None
+    if not windowed:
+        n_out = n
     f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
-    decoder = decode_ancestors_bs if _V6_DECODE_BS else decode_ancestors
-    anc = decoder(f, n, interpret=interpret)  # [n] counts in [0, m]
-    n_pad = -(-n // _LK_BLK) * _LK_BLK
-    if n_pad != n:
+    if windowed:
+        anc = decode_ancestors_bs(
+            f, n, start=start, n_out=n_out, interpret=interpret
+        )
+    else:
+        decoder = decode_ancestors_bs if _V6_DECODE_BS else decode_ancestors
+        anc = decoder(f, n, interpret=interpret)  # [n_out] counts in [0, m]
+    n_pad = -(-n_out // _LK_BLK) * _LK_BLK
+    if n_pad != n_out:
         # Padded output slots replay the last count (nondecreasing, and their
         # windows stay within the padded value array).
         anc_p = jnp.concatenate(
-            [anc, jnp.full((n_pad - n,), 1, jnp.int32) * anc[n - 1]]
+            [anc, jnp.full((n_pad - n_out,), 1, jnp.int32) * anc[n_out - 1]]
         )
     else:
         anc_p = anc
@@ -1091,7 +1125,7 @@ def _resample_move_cols_v6(f, cols, n, start=None, n_out=None, interpret=False):
         out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.float32)] * n_cols,
         interpret=interpret,
     )(anc_p, *vs)
-    return anc, tuple(o[:n] for o in outs)
+    return anc, tuple(o[:n_out] for o in outs)
 
 
 #: Which fused decode+move implementation the engine uses.  The ONLY
@@ -1128,10 +1162,9 @@ _MOVE_IMPLS = {
 #: Version 0 (decode-only + XLA gather) is handled specially in
 #: :func:`resample_move_f`; valid APS_MOVE_VERSION values are {0} ∪ keys.
 _VALID_MOVE_VERSIONS = frozenset({0}) | frozenset(_MOVE_IMPLS)
-#: Versions with a windowed (sharded-exchange) form.  v0/v6 decode the whole
-#: population, so the window wrappers fall back to the v1 staircase for the
-#: per-shard exchange (documented there).
-_WINDOWED_MOVE_VERSIONS = frozenset({1})
+#: Versions with a windowed (sharded-exchange) form.  v0 decodes the whole
+#: population, so the window wrappers fall back to the v1 staircase for it.
+_WINDOWED_MOVE_VERSIONS = frozenset({1, 6})
 # APS_MOVE_VERSION: measurement override for same-session A/B on shared
 # hardware (the chip+host show a few percent of hour-scale drift, so absolute
 # numbers across sessions don't settle 10%-class kernel questions).

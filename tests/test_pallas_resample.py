@@ -87,7 +87,7 @@ from advancedps_tpu.ops.pallas_resample import resample_move
 
 VERSIONS = [1, 6]  # 6 = decode + dynamic-gather lookup (round-5 default)
 # versions with a windowed (sharded-exchange) form
-WINDOW_VERSIONS = [1]
+WINDOW_VERSIONS = [1, 6]
 
 
 def _move_ref(u, w, n, m):
