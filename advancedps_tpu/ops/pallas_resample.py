@@ -878,8 +878,9 @@ def _unflatten_cols(leaves, treedef, ys, m, n_out):
 _V6_DECODE_BS = os.environ.get("APS_DECODE", "bs") == "bs"
 
 _BS_BLK = 1024  # output slots per grid step
-_BS_WIN = 2048  # f rows per search window
-_BS_STEPS = 12  # ceil(log2(_BS_WIN + 1)): counts range over 0..2048 inclusive
+# f rows per search window (APS_BS_WIN: in-engine tuning knob; 1024-multiple)
+_BS_WIN = int(os.environ.get("APS_BS_WIN", "2048"))
+_BS_STEPS = ( _BS_WIN + 1 - 1).bit_length()  # ceil(log2(_BS_WIN + 1))
 
 
 def _win_lookup_i32(win2, idx):
@@ -1031,7 +1032,8 @@ def decode_ancestors_bs(
 # up the zero padding — same contract as v1.
 
 _LK_BLK = 1024  # output slots per grid step
-_LK_WIN = 2048  # value rows per lookup window (16 sublane rows)
+# value rows per lookup window (APS_LK_WIN: in-engine tuning knob)
+_LK_WIN = int(os.environ.get("APS_LK_WIN", "2048"))
 
 
 def _make_lookup_kernel(n_cols: int):
