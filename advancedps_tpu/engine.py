@@ -350,22 +350,28 @@ def sweep(
                         logw, m, S[n_resample] / s1
                     )
                     f = _pallas_move.count_le_sorted_auto(S[:n_resample], thr)
-                anc_drawn, moved = _pallas_move.resample_move_f(
-                    f, state, n_resample
-                )
                 if has_ref:
+                    # Decode ALL n slots (slot n-1 decodes past the drawn
+                    # population: anc = m-1, value 0 — see guard_n) and
+                    # overwrite slot n-1 with the reference row IN PLACE.
+                    # The old concatenate([n-1 rows] + [1 row]) forced two
+                    # full-state copies per firing (~150 µs/step at 1M in
+                    # the round-5 PGAS phase profile).
+                    anc_full, moved = _pallas_move.resample_move_f(
+                        f, state, n, guard_n=n_resample
+                    )
                     ref_anc = draw_ref_anc()
-                    anc = jnp.concatenate([anc_drawn, ref_anc[None]])
+                    anc = anc_full.at[n - 1].set(ref_anc)
                     ref_row = jax.tree_util.tree_map(
-                        lambda a: a[ref_anc][None], state
+                        lambda a: a[ref_anc], state
                     )
                     state_rs = jax.tree_util.tree_map(
-                        lambda mv, r: jnp.concatenate([mv, r], axis=0),
-                        moved,
-                        ref_row,
+                        lambda mv, r: mv.at[n - 1].set(r), moved, ref_row
                     )
                 else:
-                    anc, state_rs = anc_drawn, moved
+                    anc, state_rs = _pallas_move.resample_move_f(
+                        f, state, n_resample
+                    )
                 return anc, state_rs, jnp.zeros_like(logw)
 
             anc_drawn = resampler.resampler(rs_key, weights, n_resample)

@@ -724,6 +724,7 @@ def _make_move_kernel(
 )
 def _resample_move_cols(
     f, cols, n, start=None, n_out=None, interpret=False, tiles=None,
+    guard=None,
 ):
     """Fused run-length decode + value move (optionally over an output window).
 
@@ -745,7 +746,11 @@ def _resample_move_cols(
     pad_in = (-m) % mc
     n_pad = -(-n_out // mw) * mw
     sentinel = jnp.int32(1 << 30)
-    f = f.at[m - 1].set(n)  # guard float cumsum undershoot: last extent covers n
+    # Guard float cumsum undershoot: the last extent covers every drawn slot
+    # (callers decoding EXTRA slots — e.g. the engine's reference slot —
+    # pass the drawn count as ``guard``; the extra slots then decode
+    # past-population: anc = m, value 0).
+    f = f.at[m - 1].set(n if guard is None else guard)
     f_p = jnp.concatenate([f, jnp.full((pad_in,), sentinel, jnp.int32)])
     vs = [c.astype(jnp.float32) for c in cols]
     if pad_in:
@@ -1079,7 +1084,9 @@ def _make_lookup_kernel(n_cols: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_out", "interpret"))
-def _resample_move_cols_v6(f, cols, n, start=None, n_out=None, interpret=False):
+def _resample_move_cols_v6(
+    f, cols, n, start=None, n_out=None, interpret=False, guard=None
+):
     """v6 decode + lookup move (see block comment): same contract as
     :func:`_resample_move_cols` — identical ancestors and bitwise-identical
     moved values for identical inputs, including the windowed
@@ -1089,7 +1096,7 @@ def _resample_move_cols_v6(f, cols, n, start=None, n_out=None, interpret=False):
     windowed = n_out is not None
     if not windowed:
         n_out = n
-    f = f.at[m - 1].set(n)  # guard float cumsum undershoot (as v1)
+    f = f.at[m - 1].set(n if guard is None else guard)  # undershoot guard (as v1)
     if windowed:
         anc = decode_ancestors_bs(
             f, n, start=start, n_out=n_out, interpret=interpret
@@ -1189,7 +1196,9 @@ def _resolve_version(version):
     return ver
 
 
-def _move_cols_grouped(impl, f, cols, n, start=None, n_out=None, interpret=False):
+def _move_cols_grouped(
+    impl, f, cols, n, start=None, n_out=None, interpret=False, guard=None
+):
     """Move wide states against one set of extents: grouped launches, then a
     batched-gather hybrid.
 
@@ -1217,20 +1226,24 @@ def _move_cols_grouped(impl, f, cols, n, start=None, n_out=None, interpret=False
     # sweep was 67 → 20 ms (round 4).
     g = min(max(1, _move_group_size(m)), 2)
     if len(cols) <= g:
-        return impl(f, cols, n, start=start, n_out=n_out, interpret=interpret)
+        return impl(
+            f, cols, n, start=start, n_out=n_out, interpret=interpret,
+            guard=guard,
+        )
     if len(cols) <= 2 * g:
         anc = None
         ys = []
         for i in range(0, len(cols), g):
             anc_i, ys_i = impl(
                 f, cols[i : i + g], n,
-                start=start, n_out=n_out, interpret=interpret,
+                start=start, n_out=n_out, interpret=interpret, guard=guard,
             )
             anc = anc_i if anc is None else anc
             ys.extend(ys_i)
         return anc, tuple(ys)
     anc, ys = impl(
-        f, cols[:g], n, start=start, n_out=n_out, interpret=interpret
+        f, cols[:g], n, start=start, n_out=n_out, interpret=interpret,
+        guard=guard,
     )
     anc_cl = jnp.clip(anc, 0, m - 1)
     rest = jnp.stack(cols[g:], axis=1)  # [m, d_rest]
@@ -1242,7 +1255,8 @@ def _move_cols_grouped(impl, f, cols, n, start=None, n_out=None, interpret=False
 
 
 def resample_move_f(
-    f, state, n: int, interpret: bool = False, version: int = None
+    f, state, n: int, interpret: bool = False, version: int = None,
+    guard_n=None,
 ):
     """As :func:`resample_move`, but from precomputed extents ``f``
     (e.g. the output of :func:`extents_from_logw` — skipping the XLA
@@ -1254,6 +1268,8 @@ def resample_move_f(
     ver = _resolve_version(version)
     m = f.shape[0]
     if ver == 0:
+        if guard_n is not None:
+            f = f.at[m - 1].set(guard_n)
         anc = jnp.clip(decode_ancestors(f, n, interpret=interpret), 0, m - 1)
         moved = jax.tree_util.tree_map(
             lambda a: jnp.take(a, anc, axis=0), state
@@ -1261,7 +1277,7 @@ def resample_move_f(
         return anc, moved
     leaves, treedef, cols = _flatten_cols(state, m)
     anc, ys = _move_cols_grouped(
-        _MOVE_IMPLS[ver], f, cols, n, interpret=interpret
+        _MOVE_IMPLS[ver], f, cols, n, interpret=interpret, guard=guard_n
     )
     anc = jnp.clip(anc, 0, m - 1)
     return anc, _unflatten_cols(leaves, treedef, ys, m, n)
