@@ -167,3 +167,41 @@ def test_segment_sliced_execution_is_linear_in_T():
     # linear-or-better growth: doubling T must far undercut quadrupling (the old
     # whole-program-per-step design measured ~3.9x here).
     assert n32 < 2.2 * n16, (n16, n32)
+
+
+def test_generic_trace_growth_is_linear_in_T():
+    # Round-5 guard (verdict #6): the per-step lax.switch means the traced
+    # program contains T branch bodies; the STABLEHLO must grow ~linearly in
+    # T (each branch O(1) after DCE), not quadratically — a regression here
+    # multiplies the reference-example (T=200) compile time.
+    import jax
+
+    from advancedps_tpu.engine import sweep
+    from advancedps_tpu.inference import make_kernel
+    from advancedps_tpu.resampling import ResampleWithESSThreshold
+
+    def build(T):
+        def prog(ctx):
+            x = ctx.sample(Normal(0.0, 1.0), name="x0")
+            ctx.observe(Normal(x, 1.0), 0.1)
+            for t in range(1, T):
+                x = ctx.sample(Normal(0.9 * x, 0.5), name=f"x{t}")
+                ctx.observe(Normal(x, 1.0), 0.1)
+
+        return make_kernel(aps.GenericModel(prog))
+
+    sizes = {}
+    for T in (15, 30, 60):
+        k = build(T)
+        lowered = jax.jit(
+            lambda key, k=k: sweep(
+                key, k, 64, ResampleWithESSThreshold(), store_states=False
+            ).log_evidence
+        ).lower(jax.random.key(0))
+        sizes[T] = len(lowered.as_text())
+    # linear growth: doubling T should not much more than double the IR
+    # (branch bodies are O(1) each; allow slack for constants/bookkeeping)
+    r1 = sizes[30] / sizes[15]
+    r2 = sizes[60] / sizes[30]
+    assert r2 < 3.0, (sizes, "superlinear StableHLO growth in T")
+    assert sizes[60] < 12 * sizes[15], sizes
