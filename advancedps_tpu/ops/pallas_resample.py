@@ -36,11 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "decode_ancestors",
+    "decode_ancestors_bs",
     "systematic_pallas",
     "extents_from_logw",
     "scaled_prefix_from_logw",
     "prefix_sum",
     "count_le_sorted",
+    "count_le_sorted_bs",
+    "count_le_sorted_auto",
     "resample_move",
     "resample_move_f",
     "resample_move_window",
